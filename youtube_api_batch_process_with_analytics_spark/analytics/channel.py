@@ -1,0 +1,289 @@
+"""Channel analytics — the flagship pipeline (SURVEY.md §3.1).
+
+Models ``get_channel_recent_videos`` (youtube_api_handler.py:515-686) on the
+synthetic star schema per FIXTURES.md:
+
+- channel  → ``customer``  (c_acctbal as the subscriber-like measure)
+- video    → ``orders``    (o_custkey→channel, o_orderdate→published_at,
+                            o_totalprice→views-like, o_orderstatus→type code
+                            'O'→shorts-like, 'F'→long-like, 'P'→unknown)
+
+Where the reference computes its {shorts,long,overall} × {last-6,last-15}
+metric matrix with 10 separate Python aggregation passes
+(youtube_api_handler.py:569-595), the engine does ONE pass: rank → window
+expansion → GROUPING SETS — a single shuffle for the ranking window and a
+single hash aggregate. At 100 TB this is the difference between 10 scans
+and 1.
+
+Determinism vs the DuckDB oracle: money sums go through DECIMAL(18,2)
+(exact, order-independent) before the final cast to double, so the
+value-hash matches bit-for-bit regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.ratios import floor_div, pct_of, safe_rate
+from ..operators.topn import top_n_per_group
+from ..sources import load_table
+
+def _recency():
+    # Deterministic recency order (SURVEY.md §7.5): published_at DESC, unique id.
+    return [F.col("o_orderdate").desc(), F.col("o_orderkey").asc()]
+
+
+def ranked_recent_videos(spark: SparkSession, sf_dir: str, n: int = 15) -> DataFrame:
+    """T1: top-N most recent 'videos' (orders) per 'channel' (customer)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return top_n_per_group(orders, "o_custkey", _recency(), n)
+
+
+def channel_video_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2+A4: the grouped metric matrix in one pass.
+
+    Output grain: (channel_id, window_n, video_type) where video_type is an
+    order-status code or 'overall'. Columns mirror the reference's
+    ``_calculate_video_metrics`` (youtube_api_handler.py:926-966): count,
+    sum, floor-div average, and engagement rate vs the subscriber-like
+    measure (``youtube_api_handler.py:968-987``).
+    """
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_acctbal")
+    )
+    topn = ranked_recent_videos(spark, sf_dir, 15)
+
+    # Window expansion: a rank-r row belongs to every window w >= r.
+    expanded = topn.select(
+        "o_custkey",
+        "o_orderstatus",
+        "rn",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        F.explode(F.array(F.lit(6), F.lit(15))).alias("window_n"),
+    ).filter(F.col("rn") <= F.col("window_n"))
+
+    agg = (
+        expanded.groupingSets(
+            [["o_custkey", "window_n", "o_orderstatus"], ["o_custkey", "window_n"]],
+            "o_custkey",
+            "window_n",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count("*").alias("video_count"),
+            F.sum("price_dec").alias("total_dec"),
+        )
+        .withColumn("video_type", F.coalesce(F.col("o_orderstatus"), F.lit("overall")))
+        .withColumn("total_views", F.col("total_dec").cast("double"))
+    )
+
+    return (
+        agg.join(F.broadcast(customer), agg.o_custkey == customer.c_custkey, "left")
+        .select(
+            F.col("o_custkey").alias("channel_id"),
+            F.col("window_n"),
+            F.col("video_type"),
+            F.col("video_count"),
+            F.col("total_views"),
+            floor_div(F.col("total_views"), F.col("video_count")).alias("avg_views"),
+            safe_rate(F.col("total_views"), F.col("c_acctbal")).alias(
+                "engagement_rate"
+            ),
+        )
+        .orderBy("channel_id", "window_n", "video_type")
+    )
+
+
+ORACLE_CHANNEL_VIDEO_METRICS = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate DESC, o_orderkey ASC
+         ) AS rn
+  FROM orders
+),
+expanded AS (
+  SELECT r.*, w.window_n
+  FROM ranked r CROSS JOIN (VALUES (6), (15)) AS w(window_n)
+  WHERE r.rn <= w.window_n AND r.rn <= 15
+),
+agg AS (
+  SELECT o_custkey, window_n,
+         COALESCE(o_orderstatus, 'overall') AS video_type,
+         COUNT(*) AS video_count,
+         CAST(SUM(price_dec) AS DOUBLE) AS total_views
+  FROM expanded
+  GROUP BY GROUPING SETS ((o_custkey, window_n, o_orderstatus),
+                          (o_custkey, window_n))
+)
+SELECT a.o_custkey AS channel_id,
+       a.window_n,
+       a.video_type,
+       a.video_count,
+       a.total_views,
+       CAST(FLOOR(a.total_views / GREATEST(a.video_count, 1)) AS BIGINT) AS avg_views,
+       CASE WHEN c.c_acctbal IS NOT NULL AND c.c_acctbal > 0
+            THEN ROUND(a.total_views / c.c_acctbal * 100.0, 4)
+            ELSE 0.0 END AS engagement_rate
+FROM agg a LEFT JOIN customer c ON a.o_custkey = c.c_custkey
+ORDER BY channel_id, window_n, video_type
+"""
+
+
+def channel_type_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 + ``_analyze_channel_type`` (youtube_api_handler.py:989-1014,
+    1073-1092): shorts/long distribution over the last-15 window and the
+    >=70%-threshold channel classification, in one aggregate.
+    """
+    topn = ranked_recent_videos(spark, sf_dir, 15)
+    shorts = F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+    longs = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+    total = F.count("*")
+    agg = topn.groupBy(F.col("o_custkey").alias("channel_id")).agg(
+        total.alias("total_videos"),
+        shorts.alias("shorts_count"),
+        longs.alias("long_count"),
+    )
+    shorts_pct = pct_of(F.col("shorts_count"), F.col("total_videos"))
+    long_pct = pct_of(F.col("long_count"), F.col("total_videos"))
+    return agg.select(
+        "channel_id",
+        "total_videos",
+        "shorts_count",
+        "long_count",
+        shorts_pct.alias("shorts_percentage"),
+        long_pct.alias("long_percentage"),
+        F.when(shorts_pct >= 70.0, F.lit("shorts"))
+        .when(long_pct >= 70.0, F.lit("long"))
+        .otherwise(F.lit("mixed"))
+        .alias("channel_type"),
+    ).orderBy("channel_id")
+
+
+ORACLE_CHANNEL_TYPE_CLASSIFICATION = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderstatus,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate DESC, o_orderkey ASC
+         ) AS rn
+  FROM orders
+),
+agg AS (
+  SELECT o_custkey AS channel_id,
+         COUNT(*) AS total_videos,
+         SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS shorts_count,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS long_count
+  FROM ranked WHERE rn <= 15 GROUP BY o_custkey
+),
+pcts AS (
+  SELECT *,
+         CASE WHEN total_videos > 0
+              THEN ROUND(shorts_count / total_videos * 100.0, 1) ELSE 0.0 END
+           AS shorts_percentage,
+         CASE WHEN total_videos > 0
+              THEN ROUND(long_count / total_videos * 100.0, 1) ELSE 0.0 END
+           AS long_percentage
+  FROM agg
+)
+SELECT channel_id, total_videos, shorts_count, long_count,
+       shorts_percentage, long_percentage,
+       CASE WHEN shorts_percentage >= 70.0 THEN 'shorts'
+            WHEN long_percentage >= 70.0 THEN 'long'
+            ELSE 'mixed' END AS channel_type
+FROM pcts ORDER BY channel_id
+"""
+
+
+def language_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-channel argmax 'language' with deterministic tie-break.
+
+    Models the audio-language mode (youtube_api_handler.py:1125-1131) with
+    ``o_orderpriority`` as the language-like code. The reference tie-breaks
+    by dict-insertion order; the engine pins lowest-code-wins (SURVEY §7.5)
+    and computes confidence = round(mode_count/total*100, 1)
+    (youtube_api_handler.py:1148).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").asc()
+    )
+    w_total = Window.partitionBy("o_custkey")
+    return (
+        counts.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("total", F.sum("cnt").over(w_total))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("channel_id"),
+            F.col("o_orderpriority").alias("mode_language"),
+            F.col("cnt").alias("mode_count"),
+            F.round(F.col("cnt") / F.col("total") * 100.0, 1).alias("confidence"),
+        )
+        .orderBy("channel_id")
+    )
+
+
+ORACLE_LANGUAGE_MODE = """
+WITH counts AS (
+  SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt
+  FROM orders GROUP BY o_custkey, o_orderpriority
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY cnt DESC, o_orderpriority ASC
+         ) AS rn,
+         SUM(cnt) OVER (PARTITION BY o_custkey) AS total
+  FROM counts
+)
+SELECT o_custkey AS channel_id,
+       o_orderpriority AS mode_language,
+       cnt AS mode_count,
+       ROUND(cnt / total * 100.0, 1) AS confidence
+FROM ranked WHERE rn = 1 ORDER BY channel_id
+"""
+
+
+def language_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: per-channel language distribution rows with share-of-total pct
+    (youtube_api_handler.py:1133-1151). Exploded rows instead of the
+    reference's dict-of-structs — the relational form joins/filters cleanly.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    w_total = Window.partitionBy("o_custkey")
+    return (
+        counts.withColumn("total", F.sum("cnt").over(w_total))
+        .select(
+            F.col("o_custkey").alias("channel_id"),
+            F.col("o_orderpriority").alias("language"),
+            F.col("cnt").alias("language_count"),
+            pct_of(F.col("cnt"), F.col("total")).alias("percentage"),
+        )
+        .orderBy("channel_id", "language")
+    )
+
+
+ORACLE_LANGUAGE_DISTRIBUTION = """
+WITH counts AS (
+  SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt
+  FROM orders GROUP BY o_custkey, o_orderpriority
+),
+tot AS (
+  SELECT *, SUM(cnt) OVER (PARTITION BY o_custkey) AS total FROM counts
+)
+SELECT o_custkey AS channel_id,
+       o_orderpriority AS language,
+       cnt AS language_count,
+       CASE WHEN total > 0 THEN ROUND(cnt / total * 100.0, 1) ELSE 0.0 END
+         AS percentage
+FROM tot ORDER BY channel_id, language
+"""
