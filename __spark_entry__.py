@@ -13,6 +13,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from youtube_api_batch_process_with_analytics_spark.analytics import channel as _channel
+from youtube_api_batch_process_with_analytics_spark.operators import (
+    joins as _joins,
+    logs as _logs,
+    windows as _windows,
+)
+
+_MODULES = [_joins, _logs, _windows]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -21,18 +28,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "channel_video_metrics": _channel.channel_video_metrics,
         "channel_type_classification": _channel.channel_type_classification,
         "language_mode": _channel.language_mode,
         "language_distribution": _channel.language_distribution,
     }
+    for mod in _MODULES:
+        out.update(mod.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out: dict[str, str] = {
         "channel_video_metrics": _channel.ORACLE_CHANNEL_VIDEO_METRICS,
         "channel_type_classification": _channel.ORACLE_CHANNEL_TYPE_CLASSIFICATION,
         "language_mode": _channel.ORACLE_LANGUAGE_MODE,
         "language_distribution": _channel.ORACLE_LANGUAGE_DISTRIBUTION,
     }
+    for mod in _MODULES:
+        out.update(mod.ORACLES)
+    return out

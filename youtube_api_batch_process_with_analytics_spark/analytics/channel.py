@@ -175,8 +175,8 @@ WITH ranked AS (
 agg AS (
   SELECT o_custkey AS channel_id,
          COUNT(*) AS total_videos,
-         SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS shorts_count,
-         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS long_count
+         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS shorts_count,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS long_count
   FROM ranked WHERE rn <= 15 GROUP BY o_custkey
 ),
 pcts AS (

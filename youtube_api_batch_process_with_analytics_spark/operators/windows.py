@@ -1,0 +1,188 @@
+"""Calendar-windowed / stateful-flavored operators (SURVEY.md §2.9).
+
+The reference keeps daily/hourly API-quota counters that reset at calendar
+boundaries (``APIKeyStats``, youtube_api_handler.py:33-79) and warns at 90%
+of quota (277-289). Batch form: tumbling ``window()`` aggregation over the
+``events`` request log — calendar-aligned exactly like the reference's
+``now.date()``/``now.hour`` resets. The streaming twin lives in
+``streaming/quota.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+DAILY_QUOTA = 10_000  # config.py:15
+HOURLY_QUOTA = 1_000  # config.py:16
+
+
+def daily_usage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 daily — per key (user_id) per calendar day: request count, failure
+    count, pct-of-quota, and the 90% warn flag (youtube_api_handler.py:287-289).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.col("user_id").alias("key_id"),
+            F.window(F.col("ts"), "1 day").alias("w"),
+        )
+        .agg(
+            F.count("*").alias("requests"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "failures"
+            ),
+        )
+        .select(
+            "key_id",
+            F.col("w.start").alias("day_start"),
+            "requests",
+            "failures",
+            F.round(F.col("requests") / F.lit(DAILY_QUOTA) * 100.0, 2).alias(
+                "quota_pct"
+            ),
+            (F.col("requests") >= 0.9 * DAILY_QUOTA).alias("quota_warning"),
+        )
+        .orderBy("key_id", "day_start")
+    )
+
+
+ORACLE_DAILY_USAGE_WINDOWS = """
+SELECT user_id AS key_id,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+       COUNT(*) AS requests,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS failures,
+       ROUND(COUNT(*) / 10000 * 100.0, 2) AS quota_pct,
+       COUNT(*) >= 9000 AS quota_warning
+FROM events
+GROUP BY user_id, date_trunc('day', ts)
+ORDER BY key_id, day_start
+"""
+
+
+def hourly_usage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 hourly — global per-hour request counts with the hourly-quota
+    admission flag (F2, youtube_api_handler.py:63-68)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window(F.col("ts"), "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("requests"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "requests",
+            "total_value",
+            (F.col("requests") < HOURLY_QUOTA).alias("admitted"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+ORACLE_HOURLY_USAGE_WINDOWS = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       COUNT(*) AS requests,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       COUNT(*) < 1000 AS admitted
+FROM events
+GROUP BY date_trunc('hour', ts)
+ORDER BY hour_start
+"""
+
+
+def key_usage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 — per-key lifetime rollup (``get_api_key_stats``,
+    youtube_api_handler.py:291-315): totals, success/failure split, success
+    rate, active days, and the JSON-carried payload size summed from
+    ``props`` via native JSON path extraction (no UDF).
+    """
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.withColumn("k", k)
+        .groupBy(F.col("user_id").alias("key_id"))
+        .agg(
+            F.count("*").alias("total_requests"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "failed"
+            ),
+            F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0)).alias(
+                "succeeded"
+            ),
+            F.countDistinct(F.to_date("ts")).alias("active_days"),
+            F.sum("k").alias("total_k"),
+        )
+        .withColumn(
+            "success_rate",
+            F.round(F.col("succeeded") / F.col("total_requests") * 100.0, 2),
+        )
+        .orderBy("key_id")
+    )
+
+
+ORACLE_KEY_USAGE_ROLLUP = """
+SELECT user_id AS key_id,
+       COUNT(*) AS total_requests,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+       CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS succeeded,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS total_k,
+       ROUND(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+             / COUNT(*) * 100.0, 2) AS success_rate
+FROM events GROUP BY user_id ORDER BY key_id
+"""
+
+
+def cache_ttl_filter(spark: SparkSession, sf_dir: str, ttl_seconds: int = 1800) -> DataFrame:
+    """ST1/F1 — TTL-cache semantics as a table: an entry written at ``ts``
+    is live iff ``anchor < ts + ttl`` (CacheEntry.is_expired,
+    youtube_api_handler.py:23-31). Anchor = max(ts) for determinism;
+    returns live/expired tallies per event type (hit/miss bookkeeping A11).
+    """
+    events = load_table(spark, sf_dir, "events")
+    anchor = events.agg(F.max("ts").alias("now_ts"))
+    flagged = events.crossJoin(F.broadcast(anchor)).withColumn(
+        "live",
+        F.col("now_ts")
+        < F.col("ts") + F.expr(f"INTERVAL {ttl_seconds} SECONDS"),
+    )
+    return (
+        flagged.groupBy(F.col("event_type").alias("entry_type"))
+        .agg(
+            F.sum(F.when(F.col("live"), 1).otherwise(0)).alias("live_entries"),
+            F.sum(F.when(~F.col("live"), 1).otherwise(0)).alias("expired_entries"),
+        )
+        .orderBy("entry_type")
+    )
+
+
+ORACLE_CACHE_TTL_FILTER = """
+SELECT event_type AS entry_type,
+       SUM(CASE WHEN (SELECT MAX(ts) FROM events)
+                     < ts + INTERVAL 1800 SECOND THEN 1 ELSE 0 END)
+         AS live_entries,
+       SUM(CASE WHEN (SELECT MAX(ts) FROM events)
+                     < ts + INTERVAL 1800 SECOND THEN 0 ELSE 1 END)
+         AS expired_entries
+FROM events GROUP BY event_type ORDER BY entry_type
+"""
+
+
+QUERIES = {
+    "daily_usage_windows": daily_usage_windows,
+    "hourly_usage_windows": hourly_usage_windows,
+    "key_usage_rollup": key_usage_rollup,
+    "cache_ttl_filter": cache_ttl_filter,
+}
+
+ORACLES = {
+    "daily_usage_windows": ORACLE_DAILY_USAGE_WINDOWS,
+    "hourly_usage_windows": ORACLE_HOURLY_USAGE_WINDOWS,
+    "key_usage_rollup": ORACLE_KEY_USAGE_ROLLUP,
+    "cache_ttl_filter": ORACLE_CACHE_TTL_FILTER,
+}

@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -31,9 +32,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one table. Schema comes from parquet footers (explicit, fixed)."""
+    """Scan one table. Schema comes from parquet footers (explicit, fixed).
+
+    ``events.ts`` is written as INT64 TIMESTAMP(NANOS), which Spark rejects
+    natively; we read nanos as long (legacy conf) and rebuild a proper
+    TimestampType column with exact integer division (``div 1000`` — no
+    double roundtrip, nanos exceed 2^53). Micros truncation matches what
+    DuckDB/Python produce for the same values.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
