@@ -14,12 +14,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from youtube_api_batch_process_with_analytics_spark.analytics import channel as _channel
 from youtube_api_batch_process_with_analytics_spark.operators import (
+    dedup as _dedup,
     joins as _joins,
     logs as _logs,
+    similarity as _similarity,
+    text_analysis as _text,
     windows as _windows,
 )
 
-_MODULES = [_joins, _logs, _windows]
+_MODULES = [_joins, _logs, _windows, _text, _dedup, _similarity]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,363 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md M7).
+
+Four strategies over ``documents``, each idiomatic Spark and each designed
+for the 100 TB shape:
+
+- **exact**: content-hash groupBy — one shuffle on a 16-byte key.
+- **MinHash + LSH**: shingle → per-permutation min-hash → band keys →
+  band-bucket self-join for candidates → Jaccard verification. The
+  band join only pairs documents sharing a band bucket, avoiding the
+  O(n²) cross join entirely; candidate volume is controlled by (bands,
+  rows-per-band).
+- **SimHash**: 16-bit fingerprint from per-token md5 hex digits;
+  fingerprint-equality buckets are the near-dup candidates. Map-only +
+  one small aggregate.
+- **n-gram Jaccard**: exact pairwise similarity *within a blocking key*
+  (source) — the quadratic fallback, bounded by block size.
+
+Hash choice: md5 (lexicographic min over hex strings for MinHash) — it is
+available with identical output in Spark, DuckDB, and Python, which makes
+every one of these oracle-verifiable bit-for-bit. At production scale one
+would swap in xxhash64 (cheaper); the plumbing is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+N_PERMUTATIONS = 8   # minhash signature length
+N_BANDS = 4          # bands of r = N_PERMUTATIONS / N_BANDS rows
+JACCARD_THRESHOLD = 0.5
+
+# word 3-shingles (distinct), as a SQL expression reused across queries
+_SHINGLES_SPARK = (
+    "array_distinct(CASE WHEN size(split(trim(text), '\\\\s+')) >= 3 THEN "
+    "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 2), "
+    "i -> concat_ws(' ', element_at(split(trim(text), '\\\\s+'), i), "
+    "element_at(split(trim(text), '\\\\s+'), i + 1), "
+    "element_at(split(trim(text), '\\\\s+'), i + 2))) "
+    "ELSE array(trim(text)) END)"
+)
+
+_SHINGLES_DUCK = (
+    "list_distinct(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 3 "
+    "THEN list_transform(generate_series(1, "
+    "len(regexp_split_to_array(trim(text), '\\s+')) - 2), "
+    "i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' || "
+    "regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' || "
+    "regexp_split_to_array(trim(text), '\\s+')[i+2]) "
+    "ELSE [trim(text)] END)"
+)
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical assignment by content hash.
+
+    Every doc gets its normalized-content md5, the canonical (minimum)
+    doc_id within its hash group, and a duplicate flag. One shuffle on the
+    hash; at 100 TB this is the standard first pass before fuzzy dedup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    hashed = docs.select("doc_id", h.alias("content_hash"))
+    groups = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("group_size"),
+    )
+    return (
+        hashed.join(groups, "content_hash")
+        .select(
+            "doc_id",
+            "content_hash",
+            "canonical_doc_id",
+            "group_size",
+            (F.col("doc_id") != F.col("canonical_doc_id")).alias("is_duplicate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+WITH h AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash
+  FROM documents
+),
+g AS (
+  SELECT content_hash, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS group_size
+  FROM h GROUP BY content_hash
+)
+SELECT h.doc_id, h.content_hash, g.canonical_doc_id, g.group_size,
+       h.doc_id <> g.canonical_doc_id AS is_duplicate
+FROM h JOIN g USING (content_hash)
+ORDER BY doc_id
+"""
+
+
+def _minhash_cols():
+    """One lexicographic-min md5 per permutation, computed scan-local
+    (array_min over a transform — NO explode, NO shuffle)."""
+    return [
+        F.expr(
+            f"array_min(transform(shingles, s -> md5(concat('{p}:', s))))"
+        ).alias(f"h{p}")
+        for p in range(N_PERMUTATIONS)
+    ]
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, Jaccard-verified.
+
+    Pipeline: shingle (map) → 8-permutation minhash signature (map) →
+    4 band keys of 2 minhashes each (map) → explode bands → self-join on
+    (band_idx, band_key) for candidate pairs (the ONLY shuffle, keyed on
+    band buckets — no O(n²)) → distinct pairs → verify true Jaccard on the
+    shingle arrays → threshold filter.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.selectExpr("doc_id", f"{_SHINGLES_SPARK} AS shingles")
+    sig = sh.select("doc_id", "shingles", *_minhash_cols())
+
+    r = N_PERMUTATIONS // N_BANDS
+    band_exprs = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"h{b * r + i}") for i in range(r)])
+        ).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sig.select("doc_id", *band_exprs).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_key")
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_key")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id_a"), F.col("r.doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+
+    sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        candidates.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified.select("doc_id_a", "doc_id_b", "jaccard").orderBy(
+        "doc_id_a", "doc_id_b"
+    )
+
+
+def _duck_minhash(p: int) -> str:
+    return f"list_min(list_transform(shingles, s -> md5('{p}:' || s))) AS h{p}"
+
+
+ORACLE_DEDUP_MINHASH_LSH = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents
+),
+sig AS (
+  SELECT doc_id, shingles,
+         {", ".join(_duck_minhash(p) for p in range(N_PERMUTATIONS))}
+  FROM sh
+),
+banded_wide AS (
+  SELECT doc_id,
+         md5(h0 || '|' || h1) AS band0,
+         md5(h2 || '|' || h3) AS band1,
+         md5(h4 || '|' || h5) AS band2,
+         md5(h6 || '|' || h7) AS band3
+  FROM sig
+),
+banded AS (
+  SELECT doc_id, 0 AS band_idx, band0 AS band_key FROM banded_wide
+  UNION ALL SELECT doc_id, 1, band1 FROM banded_wide
+  UNION ALL SELECT doc_id, 2, band2 FROM banded_wide
+  UNION ALL SELECT doc_id, 3, band3 FROM banded_wide
+),
+candidates AS (
+  SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+)
+SELECT c.doc_id_a, c.doc_id_b,
+       ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+FROM candidates c
+JOIN sh a ON c.doc_id_a = a.doc_id
+JOIN sh b ON c.doc_id_b = b.doc_id
+WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(a.shingles || b.shingles)), 6)
+      >= {JACCARD_THRESHOLD}
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+SIMHASH_BITS = 16
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection: 16-bit fingerprint per document.
+
+    Bit b is the majority vote of the b-th hex digit's high bit across the
+    md5 of every distinct token (ties → 1). Identical fingerprints are
+    near-dup candidates. Entirely map-side (token hashing via array
+    transform) plus one window over the fingerprint — no explode.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr(
+        "doc_id",
+        "array_distinct(split(trim(text), '\\\\s+')) AS toks",
+    ).selectExpr("doc_id", "transform(toks, t -> md5(t)) AS hashes")
+    bit_exprs = [
+        (
+            f"CASE WHEN 2 * size(filter(hashes, h -> substring(h, {b + 1}, 1) >= '8'))"
+            f" >= size(hashes) THEN '1' ELSE '0' END"
+        )
+        for b in range(SIMHASH_BITS)
+    ]
+    fp = toks.selectExpr(
+        "doc_id", f"concat({', '.join(bit_exprs)}) AS simhash"
+    )
+    groups = fp.groupBy("simhash").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("bucket_size"),
+    )
+    return (
+        fp.join(groups, "simhash")
+        .select(
+            "doc_id",
+            "simhash",
+            "canonical_doc_id",
+            "bucket_size",
+            (F.col("bucket_size") > 1).alias("has_near_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _duck_simhash_bits() -> str:
+    parts = [
+        (
+            f"CASE WHEN 2 * len(list_filter(hashes, h -> substr(h, {b + 1}, 1) >= '8'))"
+            f" >= len(hashes) THEN '1' ELSE '0' END"
+        )
+        for b in range(SIMHASH_BITS)
+    ]
+    return " || ".join(parts)
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+                        t -> md5(t)) AS hashes
+  FROM documents
+),
+fp AS (
+  SELECT doc_id, {_duck_simhash_bits()} AS simhash FROM t
+),
+g AS (
+  SELECT simhash, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS bucket_size
+  FROM fp GROUP BY simhash
+)
+SELECT fp.doc_id, fp.simhash, g.canonical_doc_id, g.bucket_size,
+       g.bucket_size > 1 AS has_near_dup
+FROM fp JOIN g USING (simhash)
+ORDER BY doc_id
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise word-3-gram Jaccard within a blocking key (source).
+
+    The quadratic fallback for small blocks: pairs are generated only
+    inside each ``source`` partition (block), so cost is sum of block² not
+    total². Returns every within-block pair with jaccard >= 0.2.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.selectExpr("doc_id", "source", f"{_SHINGLES_SPARK} AS shingles")
+    a = sh.select(
+        F.col("source"),
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("source"),
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    return (
+        a.join(b, "source")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select("source", "doc_id_a", "doc_id_b", "jaccard")
+        .orderBy("source", "doc_id_a", "doc_id_b")
+    )
+
+
+ORACLE_NGRAM_JACCARD_PAIRS = f"""
+WITH sh AS (
+  SELECT doc_id, source, {_SHINGLES_DUCK} AS shingles FROM documents
+)
+SELECT a.source AS source, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(a.shingles || b.shingles)), 6) >= 0.2
+ORDER BY 1, 2, 3
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
+}

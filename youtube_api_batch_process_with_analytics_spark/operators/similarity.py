@@ -1,0 +1,244 @@
+"""Similarity search over embeddings (SURVEY.md M7 — ANN).
+
+Two paths over the ``embeddings`` table (``vec_id, embedding array<float>,
+label``):
+
+- **brute-force cosine top-k** — the exactness baseline. The (small) query
+  set broadcasts; every partition scores its vectors locally and a ranking
+  window keeps k per query. No O(n²) materialization beyond the
+  query×vector pairs, and at 100 TB the scan side never shuffles (the
+  ranking shuffle moves only (query, candidate-k) rows).
+- **IVF top-k** — the scale path: coarse quantization by centroid
+  (here the per-label mean vector — at production scale the centroids come
+  from a k-means job), probe the ``nprobe`` nearest cells, brute-force only
+  inside probed cells. Cuts scored pairs by ~nprobe/ncells.
+
+Numerics: dot products are sequential folds over zipped arrays
+(``F.aggregate`` ↔ DuckDB ``list_reduce``) — identical operation order →
+bit-identical doubles on both engines. Centroid components route through
+DECIMAL sums (order-independent) before the double division. Cosines are
+rounded to 6 places before ranking so rank ties are broken identically
+(then by vec_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+TOP_K = 10
+IVF_TOP_K = 5
+N_PROBE = 2
+QUERY_STRIDE = 50  # vec_id % 50 == 0 → deterministic query subset
+
+
+def _dot(a: str, b: str):
+    """Sequential-fold dot product of two double arrays (deterministic)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: str):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(F.col(a), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _as_double_array(col: str):
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for the query subset (vec_id % 50 == 0)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double_array("embedding").alias("vec"), "label"
+    )
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    pairs = F.broadcast(queries).crossJoin(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("vec"), "label")
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.withColumn(
+        "cosine",
+        F.round(_dot("qvec", "vec") / (_norm("qvec") * _norm("vec")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "label", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+_DUCK_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+_DUCK_NORM = (
+    "sqrt(list_reduce(list_transform({a}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, y) -> acc + y))"
+)
+
+
+ORACLE_ANN_COSINE_TOPK = f"""
+WITH emb AS (
+  SELECT vec_id, embedding, label FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM emb
+  WHERE vec_id % {QUERY_STRIDE} = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+         ROUND({_DUCK_DOT.format(a="q.qvec", b="e.embedding")}
+               / ({_DUCK_NORM.format(a="q.qvec")}
+                  * {_DUCK_NORM.format(a="e.embedding")}), 6) AS cosine
+  FROM q JOIN emb e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, label, cosine
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe the N_PROBE nearest centroids, then brute-force
+    only inside the probed cells.
+
+    Centroids here are per-label mean vectors (labels stand in for k-means
+    cell assignments, which at scale come from a separate clustering job —
+    the probe/search plumbing is identical). Decimal sums keep centroid
+    values order-independent.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double_array("embedding").alias("vec"), "label"
+    )
+    # centroid per label: posexplode → decimal mean per dimension → rebuild
+    ex = emb.select("label", F.posexplode("vec").alias("pos", "val"))
+    cent_flat = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(30,10)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    centroids = cent_flat.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    ).select(F.col("label").alias("cell"), "cvec")
+
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    qc = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "ccos", F.round(_dot("qvec", "cvec") / (_norm("qvec") * _norm("cvec")), 6)
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    probed = (
+        qc.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= N_PROBE)
+        .select("query_id", "qvec", "cell")
+    )
+
+    cands = probed.join(emb, probed.cell == emb.label).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.withColumn(
+        "cosine", F.round(_dot("qvec", "vec") / (_norm("qvec") * _norm("vec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            "cosine",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_ANN_IVF_TOPK = f"""
+WITH emb AS (
+  SELECT vec_id, embedding, label FROM embeddings
+),
+ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS val
+  FROM emb
+),
+cent_flat AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(val AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS c
+  FROM ex GROUP BY label, pos
+),
+centroids AS (
+  SELECT label AS cell, list(c ORDER BY pos) AS cvec
+  FROM cent_flat GROUP BY label
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM emb
+  WHERE vec_id % {QUERY_STRIDE} = 0
+),
+qc AS (
+  SELECT q.query_id, q.qvec, c.cell,
+         ROUND({_DUCK_DOT.format(a="q.qvec", b="c.cvec")}
+               / ({_DUCK_NORM.format(a="q.qvec")}
+                  * {_DUCK_NORM.format(a="c.cvec")}), 6) AS ccos
+  FROM q CROSS JOIN centroids c
+),
+probed AS (
+  SELECT query_id, qvec, cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY ccos DESC, cell ASC
+    ) AS crank FROM qc
+  ) WHERE crank <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id, e.label,
+         ROUND({_DUCK_DOT.format(a="p.qvec", b="e.embedding")}
+               / ({_DUCK_NORM.format(a="p.qvec")}
+                  * {_DUCK_NORM.format(a="e.embedding")}), 6) AS cosine
+  FROM probed p JOIN emb e ON p.cell = e.label AND e.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rank FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, label, cosine
+FROM ranked WHERE rank <= {IVF_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+}
+
+ORACLES = {
+    "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
+    "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
+}

@@ -1,0 +1,231 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §7.1 M7).
+
+Beyond the reference surface: language-ID (marker-word heuristic), quality
+scoring (length/punct/stopword ratios), token counting (whitespace + a
+BPE-ish regex), and document fingerprinting — all over ``documents``.
+
+Everything is a native Column expression (regexp + array lambdas) — no
+Python UDFs, so at 100 TB these run inside whole-stage codegen directly on
+the parquet scan with zero shuffles (per-document map-only work). Oracles
+use the same regex/list primitives in DuckDB with identical semantics
+(note DuckDB ``regexp_replace`` needs the 'g' flag; Spark is global by
+default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+# marker-word sets for the language-ID heuristic (deterministic argmax with
+# fixed preference order en > es > de > fr on ties)
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "los", "de", "y", "que"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+PUNCT_CLASS = "[^.,!?;:]"
+BPE_TOKEN_RE = r"\w+|[^\w\s]"
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def _marker_hits(lang: str):
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return F.expr(
+        f"size(filter(split(trim(text), '\\\\s+'),"
+        f" t -> array_contains(array({markers}), t)))"
+    ).cast("long")
+
+
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + token counting per document.
+
+    Token counts (whitespace + BPE-ish regex), punctuation ratio, stopword
+    ratio, average token length, and a pure-arithmetic quality score
+    (no transcendental functions — those differ across libms and would
+    break oracle determinism).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_tokens = F.size(_tokens()).cast("long")
+    n_tokens_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)).cast("long")
+    n_chars = F.length("text").cast("long")
+    punct_ratio = F.round(
+        F.length(F.regexp_replace(F.col("text"), PUNCT_CLASS, "")) / n_chars, 6
+    )
+    stopword_hits = F.expr(
+        f"size(filter(split(trim(text), '\\\\s+'),"
+        f" t -> array_contains(array({stop}), t)))"
+    ).cast("long")
+    stopword_ratio = F.round(stopword_hits / n_tokens, 6)
+    avg_token_len = F.round(
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / n_tokens, 6
+    )
+    quality = F.round(
+        0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (1.0 - punct_ratio)
+        + 0.2 * F.least(stopword_ratio * 5.0, F.lit(1.0)),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_tokens_bpe.alias("n_tokens_bpe"),
+        n_chars.alias("n_chars_obs"),
+        punct_ratio.alias("punct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+        avg_token_len.alias("avg_token_len"),
+        quality.alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+ORACLE_DOC_TEXT_STATS = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         LENGTH(text) AS n_chars_obs
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT)
+           AS n_tokens_bpe,
+         CAST(n_chars_obs AS BIGINT) AS n_chars_obs,
+         ROUND(LENGTH(regexp_replace(text, '{PUNCT_CLASS}', '', 'g'))
+               / n_chars_obs, 6) AS punct_ratio,
+         ROUND(CAST(len(list_filter(toks,
+                 t -> list_contains({list(STOPWORDS)}, t))) AS BIGINT)
+               / len(toks), 6) AS stopword_ratio,
+         ROUND(LENGTH(regexp_replace(text, '\\s+', '', 'g')) / len(toks), 6)
+           AS avg_token_len
+  FROM t
+)
+SELECT doc_id, n_tokens, n_tokens_bpe, n_chars_obs, punct_ratio,
+       stopword_ratio, avg_token_len,
+       ROUND(0.5 * LEAST(n_tokens / 100.0, 1.0)
+             + 0.3 * (1.0 - punct_ratio)
+             + 0.2 * LEAST(stopword_ratio * 5.0, 1.0), 6) AS quality_score
+FROM m ORDER BY doc_id
+"""
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with a deterministic argmax.
+
+    Per document: count marker-word hits for each candidate language,
+    predict the argmax (preference order en > es > de > fr on ties,
+    'unknown' when nothing matches), plus a confidence share.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s_en, s_es = _marker_hits("en"), _marker_hits("es")
+    s_de, s_fr = _marker_hits("de"), _marker_hits("fr")
+    total = s_en + s_es + s_de + s_fr
+    predicted = (
+        F.when(total == 0, F.lit("unknown"))
+        .when((s_en >= s_es) & (s_en >= s_de) & (s_en >= s_fr), F.lit("en"))
+        .when((s_es >= s_de) & (s_es >= s_fr), F.lit("es"))
+        .when(s_de >= s_fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    best = F.greatest(s_en, s_es, s_de, s_fr)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        s_en.alias("score_en"),
+        s_es.alias("score_es"),
+        s_de.alias("score_de"),
+        s_fr.alias("score_fr"),
+        predicted.alias("predicted_lang"),
+        F.when(total > 0, F.round(best / total * 100.0, 1))
+        .otherwise(F.lit(0.0))
+        .alias("confidence"),
+    ).orderBy("doc_id")
+
+
+def _duck_markers(lang: str) -> str:
+    return (
+        f"CAST(len(list_filter(toks, t -> list_contains("
+        f"{list(LANG_MARKERS[lang])}, t))) AS BIGINT)"
+    )
+
+
+ORACLE_LANGUAGE_ID = f"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {_duck_markers("en")} AS score_en,
+         {_duck_markers("es")} AS score_es,
+         {_duck_markers("de")} AS score_de,
+         {_duck_markers("fr")} AS score_fr
+  FROM t
+)
+SELECT doc_id, labeled_lang, score_en, score_es, score_de, score_fr,
+       CASE WHEN score_en + score_es + score_de + score_fr = 0 THEN 'unknown'
+            WHEN score_en >= score_es AND score_en >= score_de
+                 AND score_en >= score_fr THEN 'en'
+            WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+            WHEN score_de >= score_fr THEN 'de'
+            ELSE 'fr' END AS predicted_lang,
+       CASE WHEN score_en + score_es + score_de + score_fr > 0
+            THEN ROUND(GREATEST(score_en, score_es, score_de, score_fr)
+                       / (score_en + score_es + score_de + score_fr)
+                       * 100.0, 1)
+            ELSE 0.0 END AS confidence
+FROM s ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized lowercase text
+    (content hash), plus a coarse 8-hex-char prefix usable as a routing/
+    blocking key. Map-only; identical md5 on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fp = F.md5(normalized)
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("fingerprint_prefix"),
+        F.length(normalized).cast("long").alias("normalized_len"),
+    ).orderBy("doc_id")
+
+
+ORACLE_DOC_FINGERPRINT = """
+WITH n AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+         LENGTH(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS nl
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+       substr(fingerprint, 1, 8) AS fingerprint_prefix,
+       CAST(nl AS BIGINT) AS normalized_len
+FROM n ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "doc_text_stats": doc_text_stats,
+    "language_id": language_id,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+ORACLES = {
+    "doc_text_stats": ORACLE_DOC_TEXT_STATS,
+    "language_id": ORACLE_LANGUAGE_ID,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+}
