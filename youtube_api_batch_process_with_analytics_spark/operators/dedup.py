@@ -26,31 +26,63 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources import load_table
+from ..sources import load_table, spread
 
 N_PERMUTATIONS = 8   # minhash signature length
 N_BANDS = 4          # bands of r = N_PERMUTATIONS / N_BANDS rows
 JACCARD_THRESHOLD = 0.5
 
-# word 3-shingles (distinct), as a SQL expression reused across queries
-_SHINGLES_SPARK = (
-    "array_distinct(CASE WHEN size(split(trim(text), '\\\\s+')) >= 3 THEN "
-    "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 2), "
-    "i -> concat_ws(' ', element_at(split(trim(text), '\\\\s+'), i), "
-    "element_at(split(trim(text), '\\\\s+'), i + 1), "
-    "element_at(split(trim(text), '\\\\s+'), i + 2))) "
-    "ELSE array(trim(text)) END)"
+# word 3-shingles (distinct), built from a PRE-MATERIALIZED ``toks`` column.
+# Tokenizing once matters: referencing split(...) inside the per-element
+# lambda would re-run the regex split for every shingle (O(tokens²) regex
+# work per document — measured 30× slower at sf0.1).
+_TOKS_SPARK = "split(trim(text), '\\\\s+')"
+_SHINGLES_FROM_TOKS_SPARK = (
+    "array_distinct(CASE WHEN size(toks) >= 3 THEN "
+    "transform(sequence(1, size(toks) - 2), "
+    "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
+    "element_at(toks, i + 2))) "
+    "ELSE array(concat_ws(' ', toks)) END)"
 )
 
-_SHINGLES_DUCK = (
-    "list_distinct(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 3 "
-    "THEN list_transform(generate_series(1, "
-    "len(regexp_split_to_array(trim(text), '\\s+')) - 2), "
-    "i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' || "
-    "regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' || "
-    "regexp_split_to_array(trim(text), '\\s+')[i+2]) "
-    "ELSE [trim(text)] END)"
+_TOKS_DUCK = "regexp_split_to_array(trim(text), '\\s+')"
+_SHINGLES_FROM_TOKS_DUCK = (
+    "list_distinct(CASE WHEN len(toks) >= 3 "
+    "THEN list_transform(generate_series(1, len(toks) - 2), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+    "ELSE [list_aggregate(toks, 'string_agg', ' ')] END)"
 )
+
+
+def _shingled(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """doc_id (+extras) with the distinct word-3-shingle array.
+
+    The input is repartitioned first: the test corpus arrives as a single
+    parquet split, which would serialize all shingling/hashing onto one
+    core. On a real cluster the scan has many splits and the repartition
+    is a near-no-op (small rows, narrow columns).
+    """
+    para = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(para)
+        .selectExpr("doc_id", *extra_cols, f"{_TOKS_SPARK} AS toks")
+        .selectExpr("doc_id", *extra_cols, f"{_SHINGLES_FROM_TOKS_SPARK} AS shingles")
+    )
+    # Persist: the shingle array feeds multiple branches (posting lists,
+    # sizes, signatures) and Catalyst would otherwise push derived join-key
+    # predicates below the repartition and re-evaluate the whole shingle
+    # expression per branch on the (single-split) source scan.
+    return sh.persist()
+
+
+_DUCK_SHINGLE_CTE = f"""
+  toks_t AS (
+    SELECT doc_id, source, {_TOKS_DUCK} AS toks FROM documents
+  ),
+  sh AS (
+    SELECT doc_id, source, {_SHINGLES_FROM_TOKS_DUCK} AS shingles FROM toks_t
+  )
+"""
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,7 +150,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle arrays → threshold filter.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.selectExpr("doc_id", f"{_SHINGLES_SPARK} AS shingles")
+    sh = _shingled(docs)
     sig = sh.select("doc_id", "shingles", *_minhash_cols())
 
     r = N_PERMUTATIONS // N_BANDS
@@ -182,9 +214,7 @@ def _duck_minhash(p: int) -> str:
 
 
 ORACLE_DEDUP_MINHASH_LSH = f"""
-WITH sh AS (
-  SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents
-),
+WITH {_DUCK_SHINGLE_CTE},
 sig AS (
   SELECT doc_id, shingles,
          {", ".join(_duck_minhash(p) for p in range(N_PERMUTATIONS))}
@@ -234,7 +264,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup candidates. Entirely map-side (token hashing via array
     transform) plus one window over the fingerprint — no explode.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.selectExpr(
         "doc_id",
         "array_distinct(split(trim(text), '\\\\s+')) AS toks",
@@ -306,27 +336,40 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     total². Returns every within-block pair with jaccard >= 0.2.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.selectExpr("doc_id", "source", f"{_SHINGLES_SPARK} AS shingles")
-    a = sh.select(
-        F.col("source"),
-        F.col("doc_id").alias("doc_id_a"),
-        F.col("shingles").alias("sh_a"),
+    sh = _shingled(docs, "source")
+    sized = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    # Posting-list formulation: explode shingles and count co-occurrences
+    # per pair. |A∩B| falls out of a groupBy instead of 625k array
+    # intersections; pairs sharing nothing never materialize. This is the
+    # shape that survives 100 TB — the shuffle keys are (source, shingle)
+    # and (pair), both well-distributed.
+    posts = sh.select(
+        "source", "doc_id", F.explode("shingles").alias("shingle")
     )
-    b = sh.select(
-        F.col("source"),
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("shingles").alias("sh_b"),
+    pa = posts.alias("a")
+    pb = posts.alias("b")
+    inter = (
+        pa.join(
+            pb,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source"),
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count("*").alias("i"))
     )
+    sa = sized.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
+    sb = sized.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
     return (
-        a.join(b, "source")
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
+            F.round(F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i")), 6),
         )
         .filter(F.col("jaccard") >= 0.2)
         .select("source", "doc_id_a", "doc_id_b", "jaccard")
@@ -335,15 +378,22 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_NGRAM_JACCARD_PAIRS = f"""
-WITH sh AS (
-  SELECT doc_id, source, {_SHINGLES_DUCK} AS shingles FROM documents
+WITH {_DUCK_SHINGLE_CTE},
+sized AS (
+  SELECT doc_id, source, shingles, len(shingles) AS n_sh FROM sh
+),
+pairs AS (
+  SELECT a.source AS source, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS i,
+         a.n_sh AS n_a, b.n_sh AS n_b
+  FROM sized a JOIN sized b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(LEAST(a.n_sh, b.n_sh) AS DOUBLE) / GREATEST(a.n_sh, b.n_sh) >= 0.2
 )
-SELECT a.source AS source, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-       ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-             / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
-FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-            / len(list_distinct(a.shingles || b.shingles)), 6) >= 0.2
+SELECT source, doc_id_a, doc_id_b,
+       ROUND(i / (n_a + n_b - i), 6) AS jaccard
+FROM pairs
+WHERE ROUND(i / (n_a + n_b - i), 6) >= 0.2
 ORDER BY 1, 2, 3
 """
 

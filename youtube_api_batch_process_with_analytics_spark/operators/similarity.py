@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources import load_table
+from ..sources import load_table, spread
 
 TOP_K = 10
 IVF_TOP_K = 5
@@ -59,7 +59,7 @@ def _as_double_array(col: str):
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for the query subset (vec_id % 50 == 0)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double_array("embedding").alias("vec"), "label"
     )
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
@@ -129,7 +129,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe/search plumbing is identical). Decimal sums keep centroid
     values order-independent.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double_array("embedding").alias("vec"), "label"
     )
     # centroid per label: posexplode → decimal mean per dimension → rebuild

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources import load_table
+from ..sources import load_table, spread
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 
@@ -54,7 +54,7 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no transcendental functions — those differ across libms and would
     break oracle determinism).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     stop = ", ".join(f"'{s}'" for s in STOPWORDS)
     n_tokens = F.size(_tokens()).cast("long")
     n_tokens_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)).cast("long")
@@ -126,7 +126,7 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     predict the argmax (preference order en > es > de > fr on ties,
     'unknown' when nothing matches), plus a confidence share.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     s_en, s_es = _marker_hits("en"), _marker_hits("es")
     s_de, s_fr = _marker_hits("de"), _marker_hits("fr")
     total = s_en + s_es + s_de + s_fr
@@ -193,7 +193,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (content hash), plus a coarse 8-hex-char prefix usable as a routing/
     blocking key. Map-only; identical md5 on both engines.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     fp = F.md5(normalized)
     return docs.select(

@@ -51,6 +51,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    The small test tables arrive as a single parquet split; expression-heavy
+    map work (hashing, regex, array transforms) would otherwise serialize on
+    one core. On a real cluster scans have many splits and callers skip this
+    (or it is a cheap narrow shuffle of small rows).
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
