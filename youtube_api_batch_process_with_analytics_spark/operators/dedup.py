@@ -398,11 +398,132 @@ ORDER BY 1, 2, 3
 """
 
 
+EMB_N_BANDS = 4        # OR-amplification: candidate if ANY band matches
+EMB_BAND_BITS = 4      # 4 sign bits per band → 16 buckets per band
+EMB_COSINE_THRESHOLD = 0.25
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH banding.
+
+    The vector analog of MinHash-LSH (same shape as the reference-free
+    training-pipeline dedup stack): each embedding gets ``EMB_N_BANDS``
+    bucket keys, band b hashing the signs of components
+    [b*EMB_BAND_BITS, (b+1)*EMB_BAND_BITS) — a deterministic
+    random-hyperplane LSH with axis-aligned hyperplanes (at production
+    scale the hyperplanes come from a seeded Gaussian matrix; the
+    plumbing is identical). Vectors sharing ANY band bucket become
+    candidates (OR-amplification); candidates are verified with the true
+    cosine and thresholded.
+
+    Scale shape: the ONLY shuffles are the (band_idx, bucket) self-join
+    and the candidate-distinct — no O(n²) cross join. Bucket count grows
+    with 2^bits, so band width tunes candidate volume the same way
+    (bands, rows) does for MinHash.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("vec")
+    )
+    bucket_exprs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            sum(
+                F.when(
+                    F.element_at("vec", b * EMB_BAND_BITS + i + 1) >= 0, F.lit(1 << i)
+                ).otherwise(F.lit(0))
+                for i in range(EMB_BAND_BITS)
+            ).alias("bucket"),
+        )
+        for b in range(EMB_N_BANDS)
+    ]
+    banded = emb.select(
+        "vec_id", F.explode(F.array(*bucket_exprs)).alias("b")
+    ).select("vec_id", "b.band_idx", "b.bucket")
+
+    candidates = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("vec_id_a"), F.col("r.vec_id").alias("vec_id_b"))
+        .distinct()
+    )
+
+    ea = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("vec").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("vec").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return (
+        candidates.join(ea, "vec_id_a")
+        .join(eb, "vec_id_b")
+        .withColumn("cosine", F.round(dot / (norm("va") * norm("vb")), 6))
+        .filter(F.col("cosine") >= EMB_COSINE_THRESHOLD)
+        .select("vec_id_a", "vec_id_b", "cosine")
+        .orderBy("vec_id_a", "vec_id_b")
+    )
+
+
+_DUCK_EMB_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+_DUCK_EMB_NORM = (
+    "sqrt(list_reduce(list_transform({a}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, y) -> acc + y))"
+)
+
+
+def _duck_emb_bands() -> str:
+    rows = []
+    for b in range(EMB_N_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN embedding[{b * EMB_BAND_BITS + i + 1}] >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(EMB_BAND_BITS)
+        )
+        rows.append(f"SELECT vec_id, {b} AS band_idx, {bits} AS bucket FROM emb")
+    return " UNION ALL ".join(rows)
+
+
+ORACLE_DEDUP_EMBEDDING_COSINE = f"""
+WITH emb AS (
+  SELECT vec_id, embedding FROM embeddings
+),
+banded AS ({_duck_emb_bands()}),
+candidates AS (
+  SELECT DISTINCT l.vec_id AS vec_id_a, r.vec_id AS vec_id_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.bucket = r.bucket
+   AND l.vec_id < r.vec_id
+),
+scored AS (
+  SELECT c.vec_id_a, c.vec_id_b,
+         ROUND({_DUCK_EMB_DOT.format(a="a.embedding", b="b.embedding")}
+               / ({_DUCK_EMB_NORM.format(a="a.embedding")}
+                  * {_DUCK_EMB_NORM.format(a="b.embedding")}), 6) AS cosine
+  FROM candidates c
+  JOIN emb a ON c.vec_id_a = a.vec_id
+  JOIN emb b ON c.vec_id_b = b.vec_id
+)
+SELECT vec_id_a, vec_id_b, cosine FROM scored
+WHERE cosine >= {EMB_COSINE_THRESHOLD}
+ORDER BY vec_id_a, vec_id_b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 ORACLES = {
@@ -410,4 +531,5 @@ ORACLES = {
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
+    "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
 }
