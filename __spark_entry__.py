@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from youtube_api_batch_process_with_analytics_spark.analytics import channel as _channel
+from youtube_api_batch_process_with_analytics_spark.multimodal import binary_ops as _media
 from youtube_api_batch_process_with_analytics_spark.operators import (
     dedup as _dedup,
     joins as _joins,
@@ -22,7 +23,7 @@ from youtube_api_batch_process_with_analytics_spark.operators import (
     windows as _windows,
 )
 
-_MODULES = [_joins, _logs, _windows, _text, _dedup, _similarity]
+_MODULES = [_joins, _logs, _windows, _text, _dedup, _similarity, _media]
 
 
 def entry(spark: SparkSession) -> DataFrame:

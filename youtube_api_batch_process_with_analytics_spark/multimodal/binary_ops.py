@@ -165,6 +165,157 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata rollup over the binary media table: per media_type
+    counts and byte volumes. The metadata struct (not the blob) drives the
+    aggregate — at 100 TB the blobs never move, only the struct columns
+    (Parquet column pruning drops `content` from the scan entirely)."""
+    from ..sources import load_table
+
+    media = make_media_frame(spark, load_table(spark, sf_dir, "documents"))
+    return (
+        media.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+            F.floor(F.sum(F.col("meta.n_bytes")) / F.count("*")).alias("avg_bytes"),
+            F.max(F.col("meta.n_bytes")).alias("max_bytes"),
+        )
+        .orderBy("media_type")
+    )
+
+
+# doc_id % 3 → media_type (mirrors make_media_frame's element_at rotation)
+_DUCK_MEDIA_TYPE = (
+    "(['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]"
+)
+_DUCK_NBYTES = "octet_length(encode(text))"
+
+ORACLE_MEDIA_METADATA_STATS = f"""
+WITH media AS (
+  SELECT doc_id AS media_id, {_DUCK_MEDIA_TYPE} AS media_type,
+         CAST({_DUCK_NBYTES} AS BIGINT) AS n_bytes
+  FROM documents
+)
+SELECT media_type, COUNT(*) AS n_items, SUM(n_bytes) AS total_bytes,
+       CAST(FLOOR(CAST(SUM(n_bytes) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg_bytes,
+       MAX(n_bytes) AS max_bytes
+FROM media GROUP BY media_type ORDER BY media_type
+"""
+
+
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode+featurize through the Arrow ``mapInPandas`` path, projected to
+    oracle-comparable scalars (first feature component as f0). The decode
+    stub derives width/height/features from the md5 digest, so a SQL oracle
+    can replay it digit-by-digit — proving the Python batch path computes
+    exactly what it claims."""
+    from ..sources import load_table
+
+    media = make_media_frame(spark, load_table(spark, sf_dir, "documents"))
+    feats = decode_and_featurize(media)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "width",
+        "height",
+        "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+    ).orderBy("media_id")
+
+
+# hex-digit value without relying on from_hex/unhex availability
+def _duck_hexval(expr: str) -> str:
+    return f"(strpos('0123456789abcdef', {expr}) - 1)"
+
+
+_DUCK_BYTE0 = (
+    f"(16 * {_duck_hexval('substr(md5(text), 1, 1)')} "
+    f"+ {_duck_hexval('substr(md5(text), 2, 1)')})"
+)
+_DUCK_BYTE1 = (
+    f"(16 * {_duck_hexval('substr(md5(text), 3, 1)')} "
+    f"+ {_duck_hexval('substr(md5(text), 4, 1)')})"
+)
+
+ORACLE_MEDIA_DECODE_FEATURES = f"""
+SELECT doc_id AS media_id,
+       {_DUCK_MEDIA_TYPE} AS media_type,
+       CAST(64 + {_DUCK_BYTE0} AS INT) AS width,
+       CAST(64 + {_DUCK_BYTE1} AS INT) AS height,
+       CAST({_DUCK_NBYTES} AS BIGINT) AS n_bytes,
+       ROUND(CAST(CAST(CAST({_DUCK_BYTE0} AS DOUBLE) / 255.0 AS REAL) AS DOUBLE), 6) AS f0
+FROM documents ORDER BY media_id
+"""
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pass over image blobs (stub kernel), blob output projected to
+    md5 + length so the byte stream is oracle-checkable."""
+    from ..sources import load_table
+
+    media = make_media_frame(spark, load_table(spark, sf_dir, "documents"))
+    out = resize_images(media)
+    return out.select(
+        "media_id",
+        "target_width",
+        "target_height",
+        F.md5("resized").alias("resized_md5"),
+        F.length("resized").cast("long").alias("resized_bytes"),
+    ).orderBy("media_id")
+
+
+_RESIZE_SLICE = 224 * 224 // 1024  # 49 bytes
+
+# DuckDB (this build) cannot slice BLOBs, so the oracles slice the VARCHAR
+# and hash its UTF-8 bytes. The corpus is pure ASCII (verified at every SF:
+# octet_length(encode(text)) == length(text) for all rows), so char slices
+# and byte slices coincide exactly.
+ORACLE_MEDIA_RESIZE = f"""
+SELECT doc_id AS media_id, 224 AS target_width, 224 AS target_height,
+       md5(text[1:{_RESIZE_SLICE}]) AS resized_md5,
+       CAST(LEAST({_DUCK_NBYTES}, {_RESIZE_SLICE}) AS BIGINT) AS resized_bytes
+FROM documents WHERE doc_id % 3 = 0
+ORDER BY media_id
+"""
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over video blobs (1→N fan-out through mapInPandas),
+    frames projected to md5 + length for oracle comparison."""
+    from ..sources import load_table
+
+    media = make_media_frame(spark, load_table(spark, sf_dir, "documents"))
+    frames = frame_sample(media)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").cast("long").alias("frame_bytes"),
+    ).orderBy("media_id", "frame_idx")
+
+
+ORACLE_MEDIA_FRAME_SAMPLE = f"""
+WITH vids AS (
+  SELECT doc_id AS media_id, text,
+         LEAST(4, GREATEST(1, {_DUCK_NBYTES} // 64)) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+),
+idx AS (
+  SELECT media_id, text, CAST(unnest(generate_series(0, n_frames - 1)) AS INT) AS frame_idx
+  FROM vids
+),
+frames AS (
+  SELECT media_id, frame_idx,
+         text[frame_idx * 64 + 1 : (frame_idx + 1) * 64] AS frame
+  FROM idx
+)
+SELECT media_id, frame_idx, md5(frame) AS frame_md5,
+       CAST(length(frame) AS BIGINT) AS frame_bytes
+FROM frames ORDER BY media_id, frame_idx
+"""
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:
     """Frame-sampling stub for video blobs: emits up to ``max_frames``
     deterministic byte-slices per video (1→N fan-out through mapInPandas —
@@ -186,3 +337,18 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(process, FRAME_SCHEMA)
+
+
+QUERIES = {
+    "media_metadata_stats": media_metadata_stats,
+    "media_decode_features": media_decode_features,
+    "media_resize": media_resize,
+    "media_frame_sample": media_frame_sample,
+}
+
+ORACLES = {
+    "media_metadata_stats": ORACLE_MEDIA_METADATA_STATS,
+    "media_decode_features": ORACLE_MEDIA_DECODE_FEATURES,
+    "media_resize": ORACLE_MEDIA_RESIZE,
+    "media_frame_sample": ORACLE_MEDIA_FRAME_SAMPLE,
+}
