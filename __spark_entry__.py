@@ -18,12 +18,13 @@ from youtube_api_batch_process_with_analytics_spark.operators import (
     dedup as _dedup,
     joins as _joins,
     logs as _logs,
+    scalar_surface as _scalar,
     similarity as _similarity,
     text_analysis as _text,
     windows as _windows,
 )
 
-_MODULES = [_joins, _logs, _windows, _text, _dedup, _similarity, _media]
+_MODULES = [_joins, _logs, _windows, _text, _dedup, _similarity, _media, _scalar]
 
 
 def entry(spark: SparkSession) -> DataFrame:
