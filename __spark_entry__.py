@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from youtube_api_batch_process_with_analytics_spark.analytics import channel as _channel
 from youtube_api_batch_process_with_analytics_spark.multimodal import binary_ops as _media
+from youtube_api_batch_process_with_analytics_spark.streaming import state as _stream_state
 from youtube_api_batch_process_with_analytics_spark.operators import (
     dedup as _dedup,
     joins as _joins,
@@ -24,7 +25,17 @@ from youtube_api_batch_process_with_analytics_spark.operators import (
     windows as _windows,
 )
 
-_MODULES = [_joins, _logs, _windows, _text, _dedup, _similarity, _media, _scalar]
+_MODULES = [
+    _joins,
+    _logs,
+    _windows,
+    _text,
+    _dedup,
+    _similarity,
+    _media,
+    _scalar,
+    _stream_state,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -71,3 +71,77 @@ def test_watermarked_level_counts(spark, event_stream):
         assert got == batch.count()
     finally:
         q.stop()
+
+
+def test_quota_latch_stream(spark, event_stream):
+    """The applyInPandasWithState latch: final per-key totals must match the
+    batch groupBy, and is_exhausted must latch exactly when requests >= quota."""
+    from youtube_api_batch_process_with_analytics_spark.streaming import quota_latch_stream
+
+    stream_df, batch = event_stream
+    QUOTA = 50  # small quota so both latch states occur in the fixture
+    out = quota_latch_stream(stream_df, quota=QUOTA)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("latch_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        # update mode emits one row per key per micro-batch; keep the last
+        rows = spark.sql(
+            "select * from (select *, row_number() over "
+            "(partition by key_id order by total_requests desc) as rn "
+            "from latch_stream) where rn = 1"
+        ).drop("rn").collect()
+        got = {r.key_id: (r.total_requests, r.total_failures, r.is_exhausted) for r in rows}
+        expected = {
+            r.user_id: (r.n, r.fails)
+            for r in batch.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("fails"),
+            )
+            .collect()
+        }
+        assert len(got) == len(expected) > 0
+        n_exhausted = 0
+        for k, (n, fails) in expected.items():
+            assert got[k][0] == n and got[k][1] == fails
+            assert got[k][2] is (n >= QUOTA)
+            n_exhausted += int(n >= QUOTA)
+        assert 0 < n_exhausted  # fixture actually exercises the latch
+    finally:
+        q.stop()
+
+
+def test_ttl_cache_stream(spark, tmp_path):
+    """TTL cache state: latest value + hit count per key survive micro-batches."""
+    from youtube_api_batch_process_with_analytics_spark.streaming import ttl_cache_stream
+
+    src = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 7.0)], "cache_key string, value double"
+    )
+    path = str(tmp_path / "cache_stream")
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    q = (
+        ttl_cache_stream(stream, ttl_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("cache_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = {
+            r.cache_key: (r.value, r.hits, r.evicted)
+            for r in spark.sql("select * from cache_stream").collect()
+        }
+        assert got["a"] == (2.0, 2, False)
+        assert got["b"] == (7.0, 1, False)
+    finally:
+        q.stop()

@@ -1,0 +1,212 @@
+"""Custom stateful streaming operators (SURVEY.md §2.9 ST1/ST2).
+
+Two pieces of reference state don't reduce to a windowed aggregate:
+
+- the per-key **exhaustion latch** (``APIKeyStats.is_exhausted``,
+  youtube_api_handler.py:55,61): once a key crosses its quota it stays
+  exhausted until explicitly reset — a monotone flag over arbitrary many
+  micro-batches, i.e. true user-defined state.
+- the **TTL cache** (youtube_api_handler.py:81-105): key→value entries
+  that lazily expire; streaming form = state with a processing-time
+  timeout.
+
+Both are implemented with ``applyInPandasWithState`` — Arrow-batched
+grouped state, the idiomatic Spark shape for custom stateful operators.
+State is per-group and partitioned by the grouping key, so at production
+scale it shards across executors with the shuffle; each group's state is
+a few scalars (bounded, no unbounded growth).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DAILY_QUOTA = 10_000  # config.py:15
+
+LATCH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key_id", T.LongType(), False),
+        T.StructField("total_requests", T.LongType()),
+        T.StructField("total_failures", T.LongType()),
+        T.StructField("is_exhausted", T.BooleanType()),
+    ]
+)
+
+LATCH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("requests", T.LongType()),
+        T.StructField("failures", T.LongType()),
+        T.StructField("exhausted", T.BooleanType()),
+    ]
+)
+
+
+def quota_latch_stream(events: DataFrame, quota: int = DAILY_QUOTA) -> DataFrame:
+    """ST2's exhaustion latch: per-key running request/failure counts with a
+    monotone ``is_exhausted`` flag that latches once ``requests >= quota``
+    (youtube_api_handler.py:47-79). Emits one updated row per key per
+    micro-batch.
+
+    ``events`` needs (user_id LONG, event_type STRING). The latch is the
+    part a plain windowed aggregate can't express: it must survive window
+    boundaries until an operator reset — hence GroupState.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            requests, failures, exhausted = state.get
+        else:
+            requests, failures, exhausted = 0, 0, False
+        for pdf in pdfs:
+            requests += len(pdf)
+            failures += int((pdf["event_type"] == "error").sum())
+        exhausted = exhausted or requests >= quota  # the latch: never un-sets
+        state.update((requests, failures, exhausted))
+        yield pd.DataFrame(
+            {
+                "key_id": [key[0]],
+                "total_requests": [requests],
+                "total_failures": [failures],
+                "is_exhausted": [exhausted],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        LATCH_OUTPUT_SCHEMA,
+        LATCH_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+CACHE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("cache_key", T.StringType(), False),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("hits", T.LongType()),
+        T.StructField("evicted", T.BooleanType()),
+    ]
+)
+
+CACHE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("value", T.DoubleType()),
+        T.StructField("hits", T.LongType()),
+    ]
+)
+
+
+def ttl_cache_stream(entries: DataFrame, ttl_ms: int = 300_000) -> DataFrame:
+    """ST1's TTL cache as streaming state: latest value + hit count per key,
+    evicted ``ttl_ms`` after the last write (processing-time timeout — the
+    streaming twin of the lazy ``del`` at youtube_api_handler.py:93-94).
+
+    ``entries`` needs (cache_key STRING, value DOUBLE). On timeout the
+    operator emits a tombstone row (evicted=true) and drops the state —
+    bounded state for an unbounded stream.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            value, hits = state.get if state.exists else (None, 0)
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "cache_key": [key[0]],
+                    "value": [value],
+                    "hits": [hits],
+                    "evicted": [True],
+                }
+            )
+            return
+        value, hits = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            if len(pdf):
+                value = float(pdf["value"].iloc[-1])
+                hits += len(pdf)
+        state.update((value, hits))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "cache_key": [key[0]],
+                "value": [value],
+                "hits": [hits],
+                "evicted": [False],
+            }
+        )
+
+    return entries.groupBy("cache_key").applyInPandasWithState(
+        update,
+        CACHE_OUTPUT_SCHEMA,
+        CACHE_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+LATCH_GATE_QUOTA = 50  # small quota so the sf0.01 fixture hits the latch
+
+
+def quota_latch_final(spark, sf_dir: str) -> DataFrame:
+    """Driver-gate wrapper: runs the REAL streaming latch (file source →
+    applyInPandasWithState → memory sink, availableNow trigger) and returns
+    the final per-key state. The final state is deterministic regardless of
+    micro-batch splits (counts are associative; the latch is monotone), so
+    a SQL oracle can verify the streaming engine's answer bit-for-bit.
+    """
+    import tempfile
+    import uuid
+
+    from ..sources import load_table
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    src = tempfile.mkdtemp(prefix="latch_src_")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    name = "latch_gate_" + uuid.uuid4().hex[:8]
+    q = (
+        quota_latch_stream(stream, quota=LATCH_GATE_QUOTA)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    w = "(partition by key_id order by total_requests desc)"
+    return (
+        spark.sql(
+            f"select * from (select *, row_number() over {w} as rn from {name})"
+            " where rn = 1"
+        )
+        .drop("rn")
+        .orderBy("key_id")
+    )
+
+
+ORACLE_QUOTA_LATCH_FINAL = f"""
+SELECT user_id AS key_id, COUNT(*) AS total_requests,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS total_failures,
+       COUNT(*) >= {LATCH_GATE_QUOTA} AS is_exhausted
+FROM events GROUP BY user_id ORDER BY key_id
+"""
+
+
+QUERIES = {"quota_latch_final": quota_latch_final}
+ORACLES = {"quota_latch_final": ORACLE_QUOTA_LATCH_FINAL}
