@@ -32,6 +32,15 @@ def main() -> None:
     qs = entrymod.queries()
     # warm the session (JVM/codegen) on the smallest query once
     _force(list(qs.values())[0](spark, sf_dir))
+    # warm the Python worker pool: the first Pandas-path query otherwise
+    # pays ~10 s of one-time worker fork/import cost that a long-lived
+    # cluster never sees per-query
+    para = spark.sparkContext.defaultParallelism
+    _force(
+        spark.range(0, para, 1, para).mapInPandas(
+            lambda batches: batches, "id long"
+        )
+    )
 
     timings: dict[str, float] = {}
     for name in sorted(qs):

@@ -210,9 +210,9 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     stub derives width/height/features from the md5 digest, so a SQL oracle
     can replay it digit-by-digit — proving the Python batch path computes
     exactly what it claims."""
-    from ..sources import load_table
+    from ..sources import load_table, spread
 
-    media = make_media_frame(spark, load_table(spark, sf_dir, "documents"))
+    media = make_media_frame(spark, spread(load_table(spark, sf_dir, "documents")))
     feats = decode_and_featurize(media)
     return feats.select(
         "media_id",
@@ -252,9 +252,9 @@ FROM documents ORDER BY media_id
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize pass over image blobs (stub kernel), blob output projected to
     md5 + length so the byte stream is oracle-checkable."""
-    from ..sources import load_table
+    from ..sources import load_table, spread
 
-    media = make_media_frame(spark, load_table(spark, sf_dir, "documents"))
+    media = make_media_frame(spark, spread(load_table(spark, sf_dir, "documents")))
     out = resize_images(media)
     return out.select(
         "media_id",
@@ -283,9 +283,9 @@ ORDER BY media_id
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling over video blobs (1→N fan-out through mapInPandas),
     frames projected to md5 + length for oracle comparison."""
-    from ..sources import load_table
+    from ..sources import load_table, spread
 
-    media = make_media_frame(spark, load_table(spark, sf_dir, "documents"))
+    media = make_media_frame(spark, spread(load_table(spark, sf_dir, "documents")))
     frames = frame_sample(media)
     return frames.select(
         "media_id",

@@ -399,7 +399,7 @@ ORDER BY 1, 2, 3
 
 
 EMB_N_BANDS = 4        # OR-amplification: candidate if ANY band matches
-EMB_BAND_BITS = 4      # 4 sign bits per band → 16 buckets per band
+EMB_BAND_BITS = 6      # 6 sign bits per band → 64 buckets per band
 EMB_COSINE_THRESHOLD = 0.25
 
 
@@ -419,11 +419,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the ONLY shuffles are the (band_idx, bucket) self-join
     and the candidate-distinct — no O(n²) cross join. Bucket count grows
     with 2^bits, so band width tunes candidate volume the same way
-    (bands, rows) does for MinHash.
+    (bands, rows) does for MinHash. L2 norms are computed ONCE per vector
+    map-side and carried through the joins (caching a deterministic value
+    changes no bits), so verification is a single dot-product fold per
+    candidate instead of dot + two norm folds — 3× less per-pair work.
     """
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("vec", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("vec")
-    )
+    ).withColumn("nrm", norm)
     bucket_exprs = [
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -450,20 +458,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l.vec_id").alias("vec_id_a"), F.col("r.vec_id").alias("vec_id_b"))
         .distinct()
+        # The candidate rows are tiny (two longs), so AQE coalesces them to
+        # ~1 partition — which would serialize the interpreted dot-product
+        # folds below onto one core. Fan back out before the compute-heavy
+        # verification; the per-row cost, not the byte count, is what needs
+        # spreading.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
-    ea = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("vec").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("vec").alias("vb"))
+    ea = emb.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
     return (
         candidates.join(ea, "vec_id_a")
         .join(eb, "vec_id_b")
-        .withColumn("cosine", F.round(dot / (norm("va") * norm("vb")), 6))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cosine") >= EMB_COSINE_THRESHOLD)
         .select("vec_id_a", "vec_id_b", "cosine")
         .orderBy("vec_id_a", "vec_id_b")
@@ -484,7 +503,7 @@ def _duck_emb_bands() -> str:
     rows = []
     for b in range(EMB_N_BANDS):
         bits = " + ".join(
-            f"(CASE WHEN embedding[{b * EMB_BAND_BITS + i + 1}] >= 0 "
+            f"(CASE WHEN vec[{b * EMB_BAND_BITS + i + 1}] >= 0 "
             f"THEN {1 << i} ELSE 0 END)"
             for i in range(EMB_BAND_BITS)
         )
@@ -494,7 +513,10 @@ def _duck_emb_bands() -> str:
 
 ORACLE_DEDUP_EMBEDDING_COSINE = f"""
 WITH emb AS (
-  SELECT vec_id, embedding FROM embeddings
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+         {_DUCK_EMB_NORM.format(a="embedding")} AS nrm
+  FROM embeddings
 ),
 banded AS ({_duck_emb_bands()}),
 candidates AS (
@@ -505,9 +527,8 @@ candidates AS (
 ),
 scored AS (
   SELECT c.vec_id_a, c.vec_id_b,
-         ROUND({_DUCK_EMB_DOT.format(a="a.embedding", b="b.embedding")}
-               / ({_DUCK_EMB_NORM.format(a="a.embedding")}
-                  * {_DUCK_EMB_NORM.format(a="b.embedding")}), 6) AS cosine
+         ROUND({_DUCK_EMB_DOT.format(a="a.vec", b="b.vec")}
+               / (a.nrm * b.nrm), 6) AS cosine
   FROM candidates c
   JOIN emb a ON c.vec_id_a = a.vec_id
   JOIN emb b ON c.vec_id_b = b.vec_id

