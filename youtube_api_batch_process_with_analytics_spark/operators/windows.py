@@ -173,11 +173,103 @@ FROM events GROUP BY event_type ORDER BY entry_type
 """
 
 
+SESSION_GAP_HOURS = 12
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via native ``session_window`` (engine extension —
+    the reference has no session semantics, SURVEY.md §2.9 note; a
+    training-data/log pipeline needs them for activity analysis).
+
+    A session is a maximal run of per-user events with gaps below
+    SESSION_GAP_HOURS; ``session_window`` merges them in one pass with
+    state bounded per key — the same operator Structured Streaming uses
+    for live sessionization. The oracle reproduces the semantics with a
+    gaps-and-islands window chain (lag → flag → running sum → group).
+    """
+    events = load_table(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts"), f"{SESSION_GAP_HOURS} hours")
+    return (
+        events.groupBy(F.col("user_id"), sw.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "n_errors"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "n_errors",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+ORACLE_USER_SESSIONS = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {SESSION_GAP_HOURS} HOURS
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT *, SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {SESSION_GAP_HOURS} HOURS AS session_end,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+def distinct_usage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation surface (SURVEY.md §2.5 note: absent from the
+    reference, exposed by the engine): exact distinct users and active
+    days per event type. COUNT(DISTINCT) expands to a two-stage aggregate
+    (distinct-expand shuffle then count) — exact, unlike the approximate
+    sketch path a 100 TB deployment would often prefer; both shapes are
+    one ``agg`` call apart."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("distinct_users"),
+            F.countDistinct(F.date_trunc("day", F.col("ts"))).alias("active_days"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_DISTINCT_USAGE_STATS = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS distinct_users,
+       COUNT(DISTINCT date_trunc('day', ts)) AS active_days,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "daily_usage_windows": daily_usage_windows,
     "hourly_usage_windows": hourly_usage_windows,
     "key_usage_rollup": key_usage_rollup,
     "cache_ttl_filter": cache_ttl_filter,
+    "user_sessions": user_sessions,
+    "distinct_usage_stats": distinct_usage_stats,
 }
 
 ORACLES = {
@@ -185,4 +277,6 @@ ORACLES = {
     "hourly_usage_windows": ORACLE_HOURLY_USAGE_WINDOWS,
     "key_usage_rollup": ORACLE_KEY_USAGE_ROLLUP,
     "cache_ttl_filter": ORACLE_CACHE_TTL_FILTER,
+    "user_sessions": ORACLE_USER_SESSIONS,
+    "distinct_usage_stats": ORACLE_DISTINCT_USAGE_STATS,
 }
