@@ -21,6 +21,7 @@ from youtube_api_batch_process_with_analytics_spark.operators import (
     joins as _joins,
     logs as _logs,
     scalar_surface as _scalar,
+    temporal_joins as _temporal,
     similarity as _similarity,
     text_analysis as _text,
     windows as _windows,
@@ -37,6 +38,7 @@ _MODULES = [
     _scalar,
     _stream_state,
     _rss_xml,
+    _temporal,
 ]
 
 

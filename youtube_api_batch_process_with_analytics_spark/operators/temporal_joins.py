@@ -1,0 +1,213 @@
+"""Temporal join operators Spark lacks natively: as-of and range joins.
+
+Neither exists in the reference (SURVEY.md §2.4: all joins are equi-joins)
+nor as a Spark builtin — they're the canonical "custom operator as a
+composition of DataFrame ops" case (time-series enrichment and
+interval-membership joins are everywhere in log/training pipelines).
+
+Both are built on the SCALE-SAFE formulations, not the naive theta join:
+
+- **as-of**: union both sides with a marker, ONE sort-shuffle on
+  (key, time), then ``last_value(ignoreNulls)`` carries the most recent
+  left-side attributes forward onto each right-side row. Cost: one
+  shuffle of |L|+|R| rows, no pair expansion, no inequality join. (A
+  theta join `l.t <= r.t` would expand to O(|L|×|R|) pairs per key
+  before aggregation.)
+- **range**: intervals are exploded into fixed-width buckets and the
+  probe side equi-joins on (key, bucket) with a residual predicate. The
+  shuffle is keyed on buckets, so the optimizer runs a plain hash join;
+  candidate volume is interval_width/bucket_width per row, not |R| per
+  row.
+
+DuckDB verifies both against its native ASOF JOIN / inequality join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+RANGE_DAYS = 7  # order validity interval for the range join
+BUCKET = "1 week"
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
+              value_cols: list[str]) -> DataFrame:
+    """Generic as-of join: for each ``right`` row, attach the most recent
+    ``left`` row's ``value_cols`` with left.time <= right.time (per key).
+
+    Returns the right rows + as-of values (null when no left row precedes).
+    """
+    passthrough = [c for c in right.columns if c not in (key, time_col)]
+    lhs = left.select(
+        F.col(key), F.col(time_col), F.lit(0).alias("_side"),
+        *[F.col(c) for c in value_cols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in passthrough
+        ],
+    )
+    rhs = right.select(
+        F.col(key), F.col(time_col), F.lit(1).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in value_cols],
+        *[F.col(c) for c in passthrough],
+    )
+    # left rows sort before right rows at the same timestamp → "<=" semantics
+    unioned = lhs.unionByName(rhs)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(time_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        key,
+        time_col,
+        "_side",
+        *passthrough,
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of enrichment: each event gets the most recent order (price,
+    status) of the matching customer as of the event time. Events are 2024,
+    orders span 1992-2003 — every key's history resolves to its latest
+    order, and customers with no orders stay null (outer as-of)."""
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("custkey"), F.col("ts"), "event_id"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_totalprice").alias("asof_price"),
+        F.col("o_orderstatus").alias("asof_status"),
+    )
+    # carry a deterministic tie-break into the value: at equal order dates
+    # keep the max (price, status) pair so the result is partition-stable
+    dedup = orders.groupBy("custkey", "ts").agg(
+        F.max(F.struct("asof_price", "asof_status")).alias("v")
+    ).select("custkey", "ts", "v.asof_price", "v.asof_status")
+    out = asof_join(
+        dedup,
+        events,
+        key="custkey",
+        time_col="ts",
+        value_cols=["asof_price", "asof_status"],
+    )
+    return out.select(
+        "event_id", "custkey", "ts", "asof_price", "asof_status"
+    ).orderBy("event_id")
+
+
+ORACLE_EVENTS_ASOF_LATEST_ORDER = """
+WITH dedup AS (
+  SELECT o_custkey AS custkey, o_orderdate AS ots,
+         o_totalprice AS asof_price, o_orderstatus AS asof_status,
+         row_number() OVER (
+           PARTITION BY o_custkey, o_orderdate
+           ORDER BY o_totalprice DESC, o_orderstatus DESC
+         ) AS rn
+  FROM orders
+),
+d2 AS (
+  SELECT custkey, ots, asof_price, asof_status FROM dedup WHERE rn = 1
+)
+SELECT e.event_id, e.user_id AS custkey, e.ts,
+       d2.asof_price, d2.asof_status
+FROM events e
+ASOF LEFT JOIN d2 ON e.user_id = d2.custkey AND e.ts >= d2.ots
+ORDER BY e.event_id
+"""
+
+
+def events_in_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: count 2024 'replay' events whose timestamp falls inside
+    [o_orderdate, o_orderdate + RANGE_DAYS) for same-key 2024-shifted
+    orders — implemented as bucket-explode + equi-join + residual filter.
+
+    Orders' dates are deterministically projected into the events' month
+    (keeping day-of-month spread) so the interval join is non-trivial.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("custkey"), "ts", "event_id"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    # project order dates into 2024-01 (the events month), preserving spread
+    start = F.to_timestamp(
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad((F.dayofmonth("o_orderdate") % 28 + 1).cast("string"), 2, "0"),
+        )
+    )
+    intervals = orders.select(
+        F.col("o_orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        start.alias("valid_from"),
+        (start + F.expr(f"INTERVAL {RANGE_DAYS} DAYS")).alias("valid_to"),
+    )
+    # explode each interval into its covering week-buckets (≤2 for 7 days)
+    exploded = intervals.select(
+        "o_orderkey",
+        "custkey",
+        "valid_from",
+        "valid_to",
+        F.explode(
+            F.sequence(
+                F.date_trunc("week", "valid_from"),
+                F.date_trunc("week", "valid_to"),
+                F.expr("INTERVAL 1 WEEK"),
+            )
+        ).alias("bucket"),
+    )
+    probes = events.withColumn("bucket", F.date_trunc("week", "ts"))
+    joined = probes.join(exploded, ["custkey", "bucket"]).filter(
+        (F.col("ts") >= F.col("valid_from")) & (F.col("ts") < F.col("valid_to"))
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_events_in_window"),
+            F.min("ts").alias("first_event"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_EVENTS_IN_ORDER_WINDOW = f"""
+WITH intervals AS (
+  SELECT o_orderkey, o_custkey AS custkey,
+         CAST('2024-01-01' AS TIMESTAMP)
+           + ((dayofmonth(o_orderdate) % 28)) * INTERVAL 1 DAY AS valid_from
+  FROM orders
+),
+iv AS (
+  SELECT o_orderkey, custkey, valid_from,
+         valid_from + INTERVAL {RANGE_DAYS} DAYS AS valid_to
+  FROM intervals
+)
+SELECT iv.o_orderkey,
+       COUNT(*) AS n_events_in_window,
+       MIN(e.ts) AS first_event
+FROM events e JOIN iv
+  ON e.user_id = iv.custkey
+ AND e.ts >= iv.valid_from AND e.ts < iv.valid_to
+GROUP BY iv.o_orderkey
+ORDER BY iv.o_orderkey
+"""
+
+
+QUERIES = {
+    "events_asof_latest_order": events_asof_latest_order,
+    "events_in_order_window": events_in_order_window,
+}
+
+ORACLES = {
+    "events_asof_latest_order": ORACLE_EVENTS_ASOF_LATEST_ORDER,
+    "events_in_order_window": ORACLE_EVENTS_IN_ORDER_WINDOW,
+}
