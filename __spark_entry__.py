@@ -18,6 +18,7 @@ from youtube_api_batch_process_with_analytics_spark.sources import rss_xml as _r
 from youtube_api_batch_process_with_analytics_spark.streaming import state as _stream_state
 from youtube_api_batch_process_with_analytics_spark.operators import (
     dedup as _dedup,
+    grouping as _grouping,
     joins as _joins,
     logs as _logs,
     scalar_surface as _scalar,
@@ -39,6 +40,7 @@ _MODULES = [
     _stream_state,
     _rss_xml,
     _temporal,
+    _grouping,
 ]
 
 
