@@ -22,6 +22,7 @@ from youtube_api_batch_process_with_analytics_spark.operators import (
     joins as _joins,
     logs as _logs,
     scalar_surface as _scalar,
+    sketches as _sketches,
     temporal_joins as _temporal,
     similarity as _similarity,
     text_analysis as _text,
@@ -41,6 +42,7 @@ _MODULES = [
     _rss_xml,
     _temporal,
     _grouping,
+    _sketches,
 ]
 
 

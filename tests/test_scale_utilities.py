@@ -1,0 +1,104 @@
+"""Tests for the scale utilities: sketches bound their error vs the exact
+answer; salted plans must be bit-identical to their unsalted twins; the
+streaming log sink (S6) must round-trip records into parquet."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from youtube_api_batch_process_with_analytics_spark.operators.sketches import approx_usage_sketch
+from youtube_api_batch_process_with_analytics_spark.operators.skew import (
+    salted_agg_count_sum,
+    salted_join,
+)
+from youtube_api_batch_process_with_analytics_spark.sources import load_table
+
+
+def test_approx_sketch_error_bounds(spark, sf_dir):
+    got = {r.event_type: r for r in approx_usage_sketch(spark, sf_dir).collect()}
+    exact = {
+        r.event_type: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("d"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact) and len(got) > 0
+    for et, e in exact.items():
+        g = got[et]
+        # HLL++ at 2% rsd: allow 5 sigma
+        assert abs(g.approx_distinct_users - e.d) <= max(3, 0.1 * e.d)
+        assert g.n_events == e.n
+        # percentile_approx with accuracy 10k on small data ≈ exact
+        assert abs(g.p50 - e.p50) <= 0.05 * abs(e.p50) + 1.0
+
+
+def test_salted_agg_matches_unsalted(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    salted = {
+        r.event_type: (r.n, r.total)
+        for r in salted_agg_count_sum(
+            events, "event_type", "value", "event_id"
+        ).collect()
+    }
+    plain = {
+        r.event_type: (r.n, r.total)
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .collect()
+    }
+    assert salted == plain  # bit-identical: DECIMAL partials are exact
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    users = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "user_total")
+    )
+    salted = salted_join(events, users, "user_id", "event_id")
+    plain = events.join(users, "user_id")
+    assert salted.count() == plain.count()
+    assert (
+        salted.exceptAll(plain).count() == 0
+        and plain.exceptAll(salted).count() == 0
+    )
+
+
+def test_streaming_log_sink_parquet(spark, sf_dir, tmp_path):
+    """S6 (sqlite_logger.py:65-110): append-mode log sink, streaming form —
+    foreachBatch writing parquet. Unlike the reference's lossy non-blocking
+    SQLite sink (drops lines on contention, sqlite_logger.py:105-107), the
+    exactly-once file sink loses nothing; the round-trip count pins that."""
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "log_sink")
+    ckpt = str(tmp_path / "ckpt")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+
+    def write_batch(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    sunk = spark.read.parquet(out)
+    assert sunk.count() == events.count()
+    assert "batch_id" in sunk.columns
