@@ -21,6 +21,7 @@ from youtube_api_batch_process_with_analytics_spark.operators import (
     grouping as _grouping,
     joins as _joins,
     logs as _logs,
+    projections as _projections,
     scalar_surface as _scalar,
     sketches as _sketches,
     temporal_joins as _temporal,
@@ -43,6 +44,7 @@ _MODULES = [
     _temporal,
     _grouping,
     _sketches,
+    _projections,
 ]
 
 

@@ -145,3 +145,247 @@ def project_rss_entries(raw: DataFrame) -> DataFrame:
         classify_video_type(F.col("url")).alias("video_type"),
         _long(F.col("views_from_rss")).alias("views_from_rss"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gate queries: drive the real formatter / fallback code paths end-to-end
+# against synthesized nested inputs, verified by a DuckDB oracle that
+# computes the same fields straight from the base columns.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from ..sources import load_table  # noqa: E402
+
+
+def _language_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """83-row-style language dimension synthesized from the corpus langs
+    (S5: the languagelist.json load, youtube_api_handler.py:317-334)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("lang").alias("id"))
+        .distinct()
+        .select("id", F.concat(F.lit("name_"), F.col("id")).alias("name"))
+    )
+
+
+def language_fallback_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/J2 gate: the 3-key fallback chain (exact → lower → base-before-'-'
+    → upper(code)) over codes synthesized to hit every branch."""
+    docs = load_table(spark, sf_dir, "documents")
+    code = (
+        F.when(F.col("doc_id") % 4 == 0, F.col("lang"))
+        .when(F.col("doc_id") % 4 == 1, F.upper(F.col("lang")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.col("lang"), F.lit("-XX")))
+        .otherwise(F.concat(F.lit("q"), (F.col("doc_id") % 7).cast("string")))
+    )
+    base = docs.select("doc_id", code.alias("code"))
+    out = language_name_fallback(
+        base, _language_dim(spark, sf_dir), "code", "language_name"
+    )
+    return out.select("doc_id", "code", "language_name").orderBy("doc_id")
+
+
+ORACLE_LANGUAGE_FALLBACK_RESOLUTION = """
+WITH dim AS (
+  SELECT DISTINCT lang AS id, 'name_' || lang AS name FROM documents
+),
+base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN lang
+              WHEN doc_id % 4 = 1 THEN upper(lang)
+              WHEN doc_id % 4 = 2 THEN lang || '-XX'
+              ELSE 'q' || CAST(doc_id % 7 AS VARCHAR) END AS code
+  FROM documents
+)
+SELECT b.doc_id, b.code,
+       COALESCE(ne.name, nl.name, nb.name, upper(b.code)) AS language_name
+FROM base b
+LEFT JOIN dim ne ON b.code = ne.id
+LEFT JOIN dim nl ON lower(b.code) = nl.id
+LEFT JOIN dim nb ON split_part(lower(b.code), '-', 1) = nb.id
+ORDER BY b.doc_id
+"""
+
+
+def _raw_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested channel resources synthesized deterministically from
+    ``customer`` — the raw shape P1 consumes (snippet/statistics/status/
+    topicDetails/contentDetails parts, config.py:77)."""
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.select(
+        k.cast("string").alias("id"),
+        F.struct(
+            F.col("c_name").alias("title"),
+            F.when(
+                k % 5 == 0,
+                F.concat(F.lit("reach me at user"), k, F.lit("@example.com")),
+            )
+            .otherwise(F.concat(F.lit("channel of "), F.col("c_mktsegment")))
+            .alias("description"),
+            F.when(k % 3 == 0, F.concat(F.lit("@ch"), k)).alias("customUrl"),
+            F.concat(
+                F.lit("20"),
+                F.lpad((k % 20).cast("string"), 2, "0"),
+                F.lit("-03-07T08:30:00Z"),
+            ).alias("publishedAt"),
+            F.struct(
+                F.struct(
+                    F.concat(F.lit("https://i.example.com/"), k, F.lit(".jpg")).alias(
+                        "url"
+                    )
+                ).alias("default")
+            ).alias("thumbnails"),
+            F.col("c_mktsegment").alias("country"),
+            F.when(k % 5 == 0, F.lit("en"))
+            .when(k % 5 == 1, F.lit("EN"))
+            .when(k % 5 == 2, F.lit("fr-CA"))
+            .when(k % 5 == 3, F.lit("zz"))
+            .alias("defaultLanguage"),
+        ).alias("snippet"),
+        F.struct(
+            F.when(k % 7 != 0, F.floor(F.col("c_acctbal") * 100).cast("string"))
+            .alias("viewCount"),
+            ((k * 13) % 100000).cast("string").alias("subscriberCount"),
+            F.when(k % 11 == 0, F.lit("0"))
+            .otherwise((k % 500).cast("string"))
+            .alias("videoCount"),
+        ).alias("statistics"),
+        F.struct(
+            F.when(k % 2 == 0, F.lit("public")).otherwise(F.lit("unlisted")).alias(
+                "privacyStatus"
+            ),
+            (k % 4 == 0).alias("isLinked"),
+        ).alias("status"),
+        F.struct(
+            F.when(
+                k % 6 != 0,
+                F.array(
+                    F.lit("https://en.wikipedia.org/wiki/Music_(genre)"),
+                    F.lit("https://other.example.com/x"),
+                    F.concat(
+                        F.lit("https://en.wikipedia.org/wiki/Seg_"),
+                        F.col("c_mktsegment"),
+                    ),
+                ),
+            ).alias("topicCategories")
+        ).alias("topicDetails"),
+        F.struct(
+            F.struct(F.concat(F.lit("UU"), k).alias("uploads")).alias(
+                "relatedPlaylists"
+            )
+        ).alias("contentDetails"),
+    )
+
+
+def channel_format_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 gate: the full channel formatter (P1+P3+P6+P7+P8) over synthesized
+    nested resources, flattened for hash comparison."""
+    raw = _raw_channels(spark, sf_dir)
+    out = format_channels(raw, _language_dim(spark, sf_dir))
+    return out.select(
+        "id",
+        "title",
+        "custom_url",
+        "published_at",
+        "country",
+        F.col("default_language.code").alias("dl_code"),
+        F.col("default_language.name").alias("dl_name"),
+        "view_count",
+        "subscriber_count",
+        "video_count",
+        "privacy_status",
+        F.array_join("categories", "; ").alias("categories_str"),
+        "uploads_playlist",
+        "email",
+        F.col("verification_status.has_email").alias("vs_has_email"),
+        F.col("verification_status.has_custom_url").alias("vs_has_custom_url"),
+        F.col("verification_status.has_description").alias("vs_has_description"),
+        F.col("verification_status.is_verified").alias("vs_is_verified"),
+        F.col("engagement_data.avg_views_per_video").alias("avg_views_per_video"),
+        F.col("engagement_data.subscriber_to_video_ratio").alias(
+            "subscriber_to_video_ratio"
+        ),
+    ).orderBy(F.col("id").cast("long"))
+
+
+ORACLE_CHANNEL_FORMAT_FLAT = """
+WITH dim AS (
+  SELECT DISTINCT lang AS id, 'name_' || lang AS name FROM documents
+),
+base AS (
+  SELECT c_custkey AS k,
+         CAST(c_custkey AS VARCHAR) AS id,
+         c_name AS title,
+         CASE WHEN c_custkey % 5 = 0
+              THEN 'reach me at user' || c_custkey || '@example.com'
+              ELSE 'channel of ' || c_mktsegment END AS description,
+         CASE WHEN c_custkey % 3 = 0 THEN '@ch' || c_custkey END AS custom_url,
+         '20' || lpad(CAST(c_custkey % 20 AS VARCHAR), 2, '0')
+              || '-03-07T08:30:00Z' AS published_str,
+         c_mktsegment AS country,
+         CASE WHEN c_custkey % 5 = 0 THEN 'en'
+              WHEN c_custkey % 5 = 1 THEN 'EN'
+              WHEN c_custkey % 5 = 2 THEN 'fr-CA'
+              WHEN c_custkey % 5 = 3 THEN 'zz' END AS dl_code,
+         CASE WHEN c_custkey % 7 <> 0
+              THEN CAST(CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS VARCHAR) END
+           AS view_count_str,
+         CAST((c_custkey * 13) % 100000 AS VARCHAR) AS sub_count_str,
+         CASE WHEN c_custkey % 11 = 0 THEN '0'
+              ELSE CAST(c_custkey % 500 AS VARCHAR) END AS video_count_str,
+         CASE WHEN c_custkey % 2 = 0 THEN 'public' ELSE 'unlisted' END
+           AS privacy_status,
+         c_custkey % 4 = 0 AS is_linked,
+         c_custkey % 6 <> 0 AS has_topics,
+         c_mktsegment AS seg
+  FROM customer
+),
+counts AS (
+  SELECT *,
+         COALESCE(TRY_CAST(view_count_str AS BIGINT), 0) AS view_count,
+         COALESCE(TRY_CAST(sub_count_str AS BIGINT), 0) AS subscriber_count,
+         COALESCE(TRY_CAST(video_count_str AS BIGINT), 0) AS video_count,
+         CASE WHEN k % 5 = 0 THEN 'user' || k || '@example.com' END AS email
+  FROM base
+)
+SELECT counts.id, title, custom_url,
+       CAST(strptime(published_str, '%Y-%m-%dT%H:%M:%SZ') AS TIMESTAMP)
+         AS published_at,
+       country,
+       dl_code,
+       CASE WHEN dl_code IS NULL THEN NULL
+            ELSE COALESCE(ne.name, nl.name, nb.name, upper(dl_code)) END
+         AS dl_name,
+       view_count, subscriber_count, video_count, privacy_status,
+       CASE WHEN has_topics
+            THEN 'Music genre; Seg ' || seg
+            ELSE '' END AS categories_str,
+       'UU' || k AS uploads_playlist,
+       email,
+       email IS NOT NULL AS vs_has_email,
+       custom_url IS NOT NULL AS vs_has_custom_url,
+       TRUE AS vs_has_description,
+       is_linked AS vs_is_verified,
+       CAST(FLOOR(CAST(view_count AS DOUBLE) / GREATEST(video_count, 1))
+            AS BIGINT) AS avg_views_per_video,
+       CAST(FLOOR(CAST(subscriber_count AS DOUBLE) / GREATEST(video_count, 1))
+            AS BIGINT) AS subscriber_to_video_ratio
+FROM counts
+LEFT JOIN dim ne ON counts.dl_code = ne.id
+LEFT JOIN dim nl ON lower(counts.dl_code) = nl.id
+LEFT JOIN dim nb ON split_part(lower(counts.dl_code), '-', 1) = nb.id
+ORDER BY k
+"""
+
+
+QUERIES = {
+    "language_fallback_resolution": language_fallback_resolution,
+    "channel_format_flat": channel_format_flat,
+}
+
+ORACLES = {
+    "language_fallback_resolution": ORACLE_LANGUAGE_FALLBACK_RESOLUTION,
+    "channel_format_flat": ORACLE_CHANNEL_FORMAT_FLAT,
+}
