@@ -102,3 +102,36 @@ def test_streaming_log_sink_parquet(spark, sf_dir, tmp_path):
     sunk = spark.read.parquet(out)
     assert sunk.count() == events.count()
     assert "batch_id" in sunk.columns
+
+
+def test_run_batch_mixed_requests(spark, sf_dir):
+    """§3.2 batch envelope: concurrent dispatch, per-item error isolation,
+    reference-style result keys (api_server.py:523)."""
+    import __spark_entry__ as entrymod
+    from youtube_api_batch_process_with_analytics_spark.plans.batch import (
+        BatchRequest,
+        run_batch,
+    )
+
+    registry = entrymod.queries()
+    out = run_batch(
+        spark,
+        sf_dir,
+        [
+            BatchRequest("log_level_stats"),
+            BatchRequest("video_type_distribution"),
+            BatchRequest("no_such_query"),
+        ],
+        registry,
+        collect=True,
+    )
+    assert set(out) == {
+        "log_level_stats_0",
+        "video_type_distribution_1",
+        "no_such_query_2",
+    }
+    assert out["log_level_stats_0"]["status"] == "success"
+    assert out["log_level_stats_0"]["data"]["rows"] > 0
+    assert out["video_type_distribution_1"]["status"] == "success"
+    assert out["no_such_query_2"]["status"] == "error"
+    assert out["no_such_query_2"]["error"]

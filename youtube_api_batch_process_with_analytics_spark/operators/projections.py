@@ -389,3 +389,162 @@ ORACLES = {
     "language_fallback_resolution": ORACLE_LANGUAGE_FALLBACK_RESOLUTION,
     "channel_format_flat": ORACLE_CHANNEL_FORMAT_FLAT,
 }
+
+
+def _raw_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested video resources synthesized from ``orders`` — the raw shape
+    P2 consumes (snippet/contentDetails/statistics/status/topicDetails/
+    player parts, config.py:78)."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    dur = (
+        F.when(k % 3 == 0, F.concat(F.lit("PT"), (k % 60).cast("string"), F.lit("S")))
+        .when(
+            k % 3 == 1,
+            F.concat(
+                F.lit("PT"),
+                (k % 90).cast("string"),
+                F.lit("M"),
+                (k % 60).cast("string"),
+                F.lit("S"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("P"), (k % 3).cast("string"), F.lit("DT2H"))
+        )
+    )
+    return o.select(
+        F.concat(F.lit("v"), k).alias("id"),
+        F.struct(
+            F.concat(F.lit("video "), k).alias("title"),
+            F.concat(F.lit("UC"), F.col("o_custkey")).alias("channelId"),
+            F.concat(F.lit("channel "), F.col("o_custkey")).alias("channelTitle"),
+            F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+                "publishedAt"
+            ),
+            (k % 44).cast("string").alias("categoryId"),
+            F.when(k % 5 == 0, F.lit("en"))
+            .when(k % 5 == 1, F.lit("ZH"))
+            .when(k % 5 == 2, F.lit("es-MX"))
+            .alias("defaultAudioLanguage"),
+        ).alias("snippet"),
+        F.struct(dur.alias("duration")).alias("contentDetails"),
+        F.struct(
+            F.floor(F.col("o_totalprice")).cast("string").alias("viewCount"),
+            F.when(k % 9 != 0, ((k * 7) % 10000).cast("string")).alias("likeCount"),
+            ((k * 3) % 1000).cast("string").alias("commentCount"),
+        ).alias("statistics"),
+        F.struct(
+            F.when(F.col("o_orderstatus") == "O", F.lit("public"))
+            .otherwise(F.lit("private"))
+            .alias("privacyStatus"),
+            (k % 2 == 0).alias("embeddable"),
+            F.lit(None).cast("boolean").alias("madeForKids"),
+        ).alias("status"),
+        F.struct(
+            F.when(
+                k % 4 != 0,
+                F.array(
+                    F.concat(
+                        F.lit("https://en.wikipedia.org/wiki/Pri_"),
+                        F.col("o_orderpriority"),
+                    )
+                ),
+            ).alias("topicCategories")
+        ).alias("topicDetails"),
+        F.struct(
+            F.concat(F.lit("<iframe src='https://e/"), k, F.lit("'/>")).alias(
+                "embedHtml"
+            )
+        ).alias("player"),
+    )
+
+
+def video_format_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 gate: the full video formatter (flatten + casts + ISO-8601
+    duration parse + audio-language fallback) over synthesized nested
+    resources, flattened for hash comparison."""
+    raw = _raw_videos(spark, sf_dir)
+    out = format_videos(raw, _language_dim(spark, sf_dir))
+    return out.select(
+        "id",
+        "title",
+        "channel_id",
+        "channel_title",
+        "published_at",
+        "category_id",
+        F.col("default_audio_language.code").alias("al_code"),
+        F.col("default_audio_language.name").alias("al_name"),
+        "duration",
+        "duration_sec",
+        "view_count",
+        "like_count",
+        "comment_count",
+        "privacy_status",
+        "embeddable",
+        "made_for_kids",
+        F.array_join("topic_categories", "; ").alias("topics_str"),
+        "embed_html",
+    ).orderBy(F.substring("id", 2, 100).cast("long"))
+
+
+ORACLE_VIDEO_FORMAT_FLAT = """
+WITH dim AS (
+  SELECT DISTINCT lang AS id, 'name_' || lang AS name FROM documents
+),
+base AS (
+  SELECT o_orderkey AS k,
+         'v' || o_orderkey AS id,
+         'video ' || o_orderkey AS title,
+         'UC' || o_custkey AS channel_id,
+         'channel ' || o_custkey AS channel_title,
+         o_orderdate AS published_at,
+         CAST(o_orderkey % 44 AS VARCHAR) AS category_id,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'en'
+              WHEN o_orderkey % 5 = 1 THEN 'ZH'
+              WHEN o_orderkey % 5 = 2 THEN 'es-MX' END AS al_code,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN 'PT' || CAST(o_orderkey % 60 AS VARCHAR) || 'S'
+              WHEN o_orderkey % 3 = 1
+              THEN 'PT' || CAST(o_orderkey % 90 AS VARCHAR) || 'M'
+                        || CAST(o_orderkey % 60 AS VARCHAR) || 'S'
+              ELSE 'P' || CAST(o_orderkey % 3 AS VARCHAR) || 'DT2H'
+         END AS duration,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 60
+              WHEN o_orderkey % 3 = 1
+              THEN (o_orderkey % 90) * 60 + o_orderkey % 60
+              ELSE (o_orderkey % 3) * 86400 + 7200
+         END AS duration_sec,
+         CAST(FLOOR(o_totalprice) AS BIGINT) AS view_count,
+         CASE WHEN o_orderkey % 9 <> 0 THEN (o_orderkey * 7) % 10000
+              ELSE 0 END AS like_count,
+         (o_orderkey * 3) % 1000 AS comment_count,
+         CASE WHEN o_orderstatus = 'O' THEN 'public' ELSE 'private' END
+           AS privacy_status,
+         o_orderkey % 2 = 0 AS embeddable,
+         FALSE AS made_for_kids,
+         CASE WHEN o_orderkey % 4 <> 0
+              THEN 'https://en.wikipedia.org/wiki/Pri_' || o_orderpriority
+              ELSE '' END AS topics_str,
+         '<iframe src=''https://e/' || o_orderkey || '''/>' AS embed_html
+  FROM orders
+)
+SELECT base.id, title, channel_id, channel_title, published_at, category_id,
+       al_code,
+       CASE WHEN al_code IS NULL THEN NULL
+            ELSE COALESCE(ne.name, nl.name, nb.name, upper(al_code)) END
+         AS al_name,
+       duration, CAST(duration_sec AS BIGINT) AS duration_sec,
+       view_count, CAST(like_count AS BIGINT) AS like_count,
+       CAST(comment_count AS BIGINT) AS comment_count,
+       privacy_status, embeddable, made_for_kids, topics_str, embed_html
+FROM base
+LEFT JOIN dim ne ON base.al_code = ne.id
+LEFT JOIN dim nl ON lower(base.al_code) = nl.id
+LEFT JOIN dim nb ON split_part(lower(base.al_code), '-', 1) = nb.id
+ORDER BY k
+"""
+
+
+QUERIES["video_format_flat"] = video_format_flat
+ORACLES["video_format_flat"] = ORACLE_VIDEO_FORMAT_FLAT
