@@ -11,6 +11,7 @@ of quota (277-289). Batch form: tumbling ``window()`` aggregation over the
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..sources import load_table
@@ -263,8 +264,92 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def key_rotation_least_used(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 key-rotation scheduling, ``least_used`` policy
+    (youtube_api_handler.py:222-275).
+
+    The reference picks, per request, the API key with the lowest daily
+    count among keys passing F2 admission (not exhausted AND daily < dq
+    AND hourly < hq, youtube_api_handler.py:63-68). Batch/relational form
+    over the ``events`` request log: per calendar day, compute each key's
+    daily count and peak hourly count, admit keys under both (scaled)
+    quotas, and select the least-used admitted key — argmin by count with
+    the reference's deterministic lowest-key tie-break (`round_robin`
+    starts from index order, youtube_api_handler.py:249-261; `random` is
+    non-deterministic and has no relational analog).
+
+    Scale shape: two partial-aggregable hash aggregates sharing the
+    (key, day) grain — the hourly max re-aggregates the finer (key, day,
+    hour) counts, so one wide shuffle on (key, day, hour) feeds both —
+    then a per-day ranking window. No driver-side loop; the per-request
+    sequential selection collapses into one declarative argmin per window.
+    """
+    daily_cap = 40  # DAILY_QUOTA scaled to fixture volume (config.py:15)
+    hourly_cap = 4  # HOURLY_QUOTA scaled (config.py:16)
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.col("user_id").alias("key_id"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(F.count("*").alias("hour_cnt"))
+    per_day = hourly.groupBy("key_id", "day").agg(
+        F.sum("hour_cnt").alias("daily_cnt"),
+        F.max("hour_cnt").alias("peak_hour_cnt"),
+    )
+    admitted = per_day.filter(
+        (F.col("daily_cnt") < daily_cap) & (F.col("peak_hour_cnt") < hourly_cap)
+    )
+    w = W.partitionBy("day").orderBy(F.col("daily_cnt").asc(), F.col("key_id").asc())
+    n_w = W.partitionBy("day")
+    return (
+        admitted.withColumn("rn", F.row_number().over(w))
+        .withColumn("admitted_keys", F.count("*").over(n_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("day").cast("date").alias("day"),
+            F.col("key_id").alias("selected_key"),
+            "daily_cnt",
+            "peak_hour_cnt",
+            "admitted_keys",
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_KEY_ROTATION_LEAST_USED = """
+WITH hourly AS (
+  SELECT user_id AS key_id,
+         date_trunc('day', ts) AS day,
+         date_trunc('hour', ts) AS hour,
+         COUNT(*) AS hour_cnt
+  FROM events GROUP BY 1, 2, 3
+),
+per_day AS (
+  SELECT key_id, day,
+         SUM(hour_cnt) AS daily_cnt,
+         MAX(hour_cnt) AS peak_hour_cnt
+  FROM hourly GROUP BY key_id, day
+),
+admitted AS (
+  SELECT * FROM per_day WHERE daily_cnt < 40 AND peak_hour_cnt < 4
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY day ORDER BY daily_cnt ASC, key_id ASC
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY day) AS admitted_keys
+  FROM admitted
+)
+SELECT day, key_id AS selected_key, CAST(daily_cnt AS BIGINT) AS daily_cnt,
+       CAST(peak_hour_cnt AS BIGINT) AS peak_hour_cnt, admitted_keys
+FROM ranked WHERE rn = 1 ORDER BY day
+"""
+
+
 QUERIES = {
     "daily_usage_windows": daily_usage_windows,
+    "key_rotation_least_used": key_rotation_least_used,
     "hourly_usage_windows": hourly_usage_windows,
     "key_usage_rollup": key_usage_rollup,
     "cache_ttl_filter": cache_ttl_filter,
@@ -274,6 +359,7 @@ QUERIES = {
 
 ORACLES = {
     "daily_usage_windows": ORACLE_DAILY_USAGE_WINDOWS,
+    "key_rotation_least_used": ORACLE_KEY_ROTATION_LEAST_USED,
     "hourly_usage_windows": ORACLE_HOURLY_USAGE_WINDOWS,
     "key_usage_rollup": ORACLE_KEY_USAGE_ROLLUP,
     "cache_ttl_filter": ORACLE_CACHE_TTL_FILTER,
