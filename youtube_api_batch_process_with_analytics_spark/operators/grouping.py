@@ -18,26 +18,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources import load_table
+from ..sources import load_table, spread
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(l_returnflag, l_linestatus): per-cell, per-flag, and grand
-    totals in one aggregate, with grouping_id distinguishing levels."""
-    li = load_table(spark, sf_dir, "lineitem")
+    totals, with grouping_id distinguishing levels.
+
+    Scale shape: a direct ``rollup`` fans every input row into all three
+    grouping sets before the shuffle — 3× the map-side aggregation work
+    and shuffle rows. Because count/sum are additive, the engine instead
+    aggregates once at the finest grain (a few cells) and rollups over
+    that tiny base: same answer, one pass over the fact table. At 100 TB
+    this cuts shuffle volume 3×; ``spread`` only widens the local
+    single-split scan (no-op shape on a real cluster)."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("p"),
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        base.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().alias("gid"),
-            F.count("*").alias("n_items"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_price"),
+            F.sum("n").alias("n_items"),
+            F.sum("q").cast("double").alias("sum_qty"),
+            F.sum("p").cast("double").alias("sum_price"),
         )
         .orderBy("gid", "l_returnflag", "l_linestatus")
     )
