@@ -548,3 +548,65 @@ ORDER BY k
 
 QUERIES["video_format_flat"] = video_format_flat
 ORACLES["video_format_flat"] = ORACLE_VIDEO_FORMAT_FLAT
+
+
+def channel_by_handle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 point lookup: ``get_channel_by_handle`` (youtube_api_handler.py:
+    430-450) — normalize the raw handle (P9, lstrip '@' then re-prefix,
+    youtube_api_handler.py:437-441), match it against the channel
+    ``customUrl``, and format the hit (P1).
+
+    Scale shape: the handle list is a literal few-row frame, so the lookup
+    compiles to a broadcast hash join against the channel scan — the same
+    plan an id-list point lookup uses at any scale (no shuffle of the big
+    side). Misses ('@nosuch') drop out, as in the reference's None return.
+    """
+    from ..functions.text import normalize_handle
+
+    raw_handles = spark.createDataFrame(
+        [("@@ch3",), ("ch6",), ("@ch9",), ("@ch12",), ("@nosuch",)],
+        ["raw_handle"],
+    ).select(normalize_handle(F.col("raw_handle")).alias("handle"))
+    raw = _raw_channels(spark, sf_dir)
+    hit = raw.join(
+        F.broadcast(raw_handles),
+        F.col("snippet.customUrl") == F.col("handle"),
+        "inner",
+    )
+    out = format_channels(hit.drop("handle"), _language_dim(spark, sf_dir))
+    return out.select(
+        "id",
+        "title",
+        "custom_url",
+        "country",
+        "subscriber_count",
+        "video_count",
+        "privacy_status",
+        "uploads_playlist",
+    ).orderBy(F.col("id").cast("long"))
+
+
+ORACLE_CHANNEL_BY_HANDLE = """
+WITH handles AS (
+  SELECT '@' || regexp_replace(raw_handle, '^@+', '') AS handle
+  FROM (VALUES ('@@ch3'), ('ch6'), ('@ch9'), ('@ch12'), ('@nosuch'))
+       AS t(raw_handle)
+)
+SELECT CAST(c_custkey AS VARCHAR) AS id,
+       c_name AS title,
+       '@ch' || c_custkey AS custom_url,
+       c_mktsegment AS country,
+       (c_custkey * 13) % 100000 AS subscriber_count,
+       CASE WHEN c_custkey % 11 = 0 THEN 0 ELSE c_custkey % 500 END
+         AS video_count,
+       CASE WHEN c_custkey % 2 = 0 THEN 'public' ELSE 'unlisted' END
+         AS privacy_status,
+       'UU' || c_custkey AS uploads_playlist
+FROM customer
+JOIN handles ON c_custkey % 3 = 0 AND '@ch' || c_custkey = handle
+ORDER BY c_custkey
+"""
+
+
+QUERIES["channel_by_handle"] = channel_by_handle
+ORACLES["channel_by_handle"] = ORACLE_CHANNEL_BY_HANDLE
