@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "channel_video_metrics": _channel.channel_video_metrics,
         "channel_type_classification": _channel.channel_type_classification,
+        "final_metrics_struct": _channel.final_metrics_struct,
         "language_mode": _channel.language_mode,
         "language_distribution": _channel.language_distribution,
     }
@@ -69,6 +70,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {
         "channel_video_metrics": _channel.ORACLE_CHANNEL_VIDEO_METRICS,
         "channel_type_classification": _channel.ORACLE_CHANNEL_TYPE_CLASSIFICATION,
+        "final_metrics_struct": _channel.ORACLE_FINAL_METRICS_STRUCT,
         "language_mode": _channel.ORACLE_LANGUAGE_MODE,
         "language_distribution": _channel.ORACLE_LANGUAGE_DISTRIBUTION,
     }

@@ -133,6 +133,118 @@ ORDER BY channel_id, window_n, video_type
 """
 
 
+def final_metrics_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7.4 nested result shaping: the reference's deeply nested
+    ``final_metrics.{shorts,long,overall}.{last_6,last_15}.{...}`` response
+    (youtube_api_handler.py:1033-1069), assembled from the flat A4 matrix.
+
+    One conditional-aggregation pivot collapses the (channel, window, type)
+    grain to one row per channel — no second shuffle beyond the matrix's
+    own aggregate — then a pure ``F.struct`` select nests it. The gate
+    flattens each leaf back out with distinct names so the DuckDB oracle
+    can hash-verify every nested value ('P'-status rows fall outside the
+    shorts/long/overall shape, as 'unknown' does in the reference).
+    """
+    flat = channel_video_metrics(spark, sf_dir)
+
+    def cell(t: str, w: int, col: str):
+        return F.max(
+            F.when(
+                (F.col("video_type") == t) & (F.col("window_n") == w), F.col(col)
+            )
+        )
+
+    def leaf(t: str, w: int):
+        return F.struct(
+            F.coalesce(cell(t, w, "video_count"), F.lit(0)).alias("video_count"),
+            F.coalesce(cell(t, w, "avg_views"), F.lit(0).cast("long")).alias(
+                "avg_views"
+            ),
+            F.coalesce(cell(t, w, "engagement_rate"), F.lit(0.0)).alias("er"),
+        )
+
+    def block(t: str):
+        return F.struct(leaf(t, 6).alias("last_6"), leaf(t, 15).alias("last_15"))
+
+    nested = flat.groupBy("channel_id").agg(
+        block("O").alias("shorts_b"),
+        block("F").alias("long_b"),
+        block("overall").alias("overall_b"),
+    ).select(
+        "channel_id",
+        F.struct(
+            F.col("shorts_b").alias("shorts"),
+            F.col("long_b").alias("long"),
+            F.col("overall_b").alias("overall"),
+        ).alias("final_metrics"),
+    )
+
+    cols = [F.col("channel_id")]
+    for t, tag in (("shorts", "s"), ("long", "l"), ("overall", "o")):
+        for w in (6, 15):
+            for m in ("video_count", "avg_views", "er"):
+                cols.append(
+                    F.col(f"final_metrics.{t}.last_{w}.{m}").alias(f"{tag}{w}_{m}")
+                )
+    return nested.select(*cols).orderBy("channel_id")
+
+
+def _oracle_final_metrics_struct() -> str:
+    cells = []
+    for t, tag in (("O", "s"), ("F", "l"), ("overall", "o")):
+        for w in (6, 15):
+            for m, d in (
+                ("video_count", "0"),
+                ("avg_views", "CAST(0 AS BIGINT)"),
+                ("er", "0.0"),
+            ):
+                cells.append(
+                    f"COALESCE(MAX(CASE WHEN video_type = '{t}' AND window_n = {w}"
+                    f" THEN {m} END), {d}) AS {tag}{w}_{m}"
+                )
+    return (
+        "WITH ranked AS (\n"
+        "  SELECT o_custkey, o_orderkey, o_orderstatus,\n"
+        "         CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,\n"
+        "         row_number() OVER (\n"
+        "           PARTITION BY o_custkey\n"
+        "           ORDER BY o_orderdate DESC, o_orderkey ASC\n"
+        "         ) AS rn\n"
+        "  FROM orders\n"
+        "),\n"
+        "expanded AS (\n"
+        "  SELECT r.*, w.window_n\n"
+        "  FROM ranked r CROSS JOIN (VALUES (6), (15)) AS w(window_n)\n"
+        "  WHERE r.rn <= w.window_n AND r.rn <= 15\n"
+        "),\n"
+        "agg AS (\n"
+        "  SELECT o_custkey, window_n,\n"
+        "         COALESCE(o_orderstatus, 'overall') AS video_type,\n"
+        "         COUNT(*) AS video_count,\n"
+        "         CAST(SUM(price_dec) AS DOUBLE) AS total_views\n"
+        "  FROM expanded\n"
+        "  GROUP BY GROUPING SETS ((o_custkey, window_n, o_orderstatus),\n"
+        "                          (o_custkey, window_n))\n"
+        "),\n"
+        "matrix AS (\n"
+        "  SELECT a.o_custkey AS channel_id, a.window_n, a.video_type,\n"
+        "         a.video_count,\n"
+        "         CAST(FLOOR(a.total_views / GREATEST(a.video_count, 1)) AS BIGINT)\n"
+        "           AS avg_views,\n"
+        "         CASE WHEN c.c_acctbal IS NOT NULL AND c.c_acctbal > 0\n"
+        "              THEN ROUND(a.total_views / c.c_acctbal * 100.0, 4)\n"
+        "              ELSE 0.0 END AS er\n"
+        "  FROM agg a LEFT JOIN customer c ON a.o_custkey = c.c_custkey\n"
+        ")\n"
+        "SELECT channel_id,\n       "
+        + ",\n       ".join(cells)
+        + "\nFROM matrix GROUP BY channel_id ORDER BY channel_id"
+    )
+
+
+ORACLE_FINAL_METRICS_STRUCT = _oracle_final_metrics_struct()
+
+
 def channel_type_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 + ``_analyze_channel_type`` (youtube_api_handler.py:989-1014,
     1073-1092): shorts/long distribution over the last-15 window and the
