@@ -41,6 +41,29 @@ def main() -> None:
             lambda batches: batches, "id long"
         )
     )
+    # warm the Structured Streaming engine (state store, streaming planner,
+    # Python state workers): one-time init a long-lived cluster pays once,
+    # not per-query
+    import tempfile
+
+    from youtube_api_batch_process_with_analytics_spark.streaming.state import (
+        ttl_cache_stream,
+    )
+
+    warm_dir = tempfile.mkdtemp(prefix="bench_warm_stream_")
+    spark.range(2).selectExpr(
+        "CAST(id AS STRING) AS cache_key", "CAST(id AS DOUBLE) AS value"
+    ).coalesce(1).write.mode("overwrite").parquet(warm_dir)
+    ws = spark.readStream.schema("cache_key string, value double").parquet(warm_dir)
+    wq = (
+        ttl_cache_stream(ws)
+        .writeStream.format("noop")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    wq.awaitTermination(120)
+    wq.stop()
 
     timings: dict[str, float] = {}
     for name in sorted(qs):

@@ -1,0 +1,78 @@
+"""Storage-layout scale levers, pinned as tests: bucketed co-located joins
+(shuffle-free) and partition pruning. These are the mechanisms a 100 TB
+deployment uses to avoid re-shuffling fact tables on every join and to skip
+irrelevant data at the source; the fixture tables are plain single-file
+parquet, so the tests build tiny layout-bearing copies.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from youtube_api_batch_process_with_analytics_spark.sources import load_table
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
+    """Both sides bucketed on the join key with matching bucket counts →
+    the join consumes the layout directly: no Exchange on either side.
+    This is how repeated fact-fact joins amortize their shuffle at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    (
+        orders.write.mode("overwrite")
+        .option("path", str(tmp_path / "orders_b"))
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("orders_b")
+    )
+    (
+        customer.write.mode("overwrite")
+        .option("path", str(tmp_path / "customer_b"))
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("customer_b")
+    )
+    ob = spark.table("orders_b")
+    cb = spark.table("customer_b")
+    # disable broadcast so the co-located layout, not a broadcast, is what
+    # avoids the shuffle (at 100 TB neither side broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ob.join(cb, ob.o_custkey == cb.c_custkey).select(
+            "o_orderkey", "c_name"
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        rows = joined.count()
+        assert rows == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_partition_pruning_skips_days(spark, sf_dir, tmp_path):
+    """Events written day-partitioned; a day-equality filter must prune at
+    the source (PartitionFilters), not scan-then-filter."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = str(tmp_path / "events_by_day")
+    events.write.mode("overwrite").partitionBy("day").parquet(out)
+
+    part = spark.read.parquet(out)
+    one_day = part.filter(F.col("day") == "2024-01-03").select("event_id")
+    plan = _plan(one_day)
+    assert "PartitionFilters" in plan and "day" in plan, plan
+    # pruned read returns exactly that day's rows
+    expected = events.filter(F.col("day") == "2024-01-03").count()
+    assert one_day.count() == expected

@@ -176,19 +176,28 @@ def quota_latch_final(spark, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     src = tempfile.mkdtemp(prefix="latch_src_")
-    events.write.mode("overwrite").parquet(src)
+    # Few large source files and a narrow stateful shuffle: the latch keeps
+    # three scalars per key (150 keys) — 32 state partitions would mean 32
+    # Python state workers for a handful of rows each. Production sizing
+    # follows key cardinality, not the session's relational default.
+    events.coalesce(4).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
     name = "latch_gate_" + uuid.uuid4().hex[:8]
-    q = (
-        quota_latch_stream(stream, quota=LATCH_GATE_QUOTA)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            quota_latch_stream(stream, quota=LATCH_GATE_QUOTA)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     w = "(partition by key_id order by total_requests desc)"
     return (
         spark.sql(
