@@ -145,3 +145,31 @@ def test_ttl_cache_stream(spark, tmp_path):
         assert got["b"] == (7.0, 1, False)
     finally:
         q.stop()
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Streaming exact dedup: duplicated event rows collapse to one within
+    the watermark (dropDuplicatesWithinWatermark keys state eviction to
+    event time — bounded state on an unbounded stream, the streaming twin
+    of the batch dedup_exact operator)."""
+    batch = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    doubled = batch.unionAll(batch)
+    path = str(tmp_path / "dup_stream")
+    doubled.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(doubled.schema).parquet(path)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = spark.table("dedup_stream").count()
+        assert got == batch.count()
+    finally:
+        q.stop()
