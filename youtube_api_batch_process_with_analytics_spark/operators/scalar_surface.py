@@ -288,7 +288,40 @@ FROM per_cell ORDER BY user_id, day
 """
 
 
+def set_ops_user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set-operation surface (absent from the reference, free in the
+    engine): cohorts of event users vs error-event users — INTERSECT
+    (users with both views and errors), EXCEPT (view-only users), UNION
+    count check. Each compiles to a hash aggregate / left-anti shape over
+    the keys — one shuffle per branch, no row-pair expansion.
+    """
+    events = load_table(spark, sf_dir, "events")
+    viewers = events.filter(F.col("event_type") == "view").select("user_id")
+    erroring = events.filter(F.col("event_type") == "error").select("user_id")
+    both = viewers.intersect(erroring).select(
+        F.col("user_id"), F.lit("view_and_error").alias("cohort")
+    )
+    only_view = viewers.subtract(erroring).select(
+        F.col("user_id"), F.lit("view_only").alias("cohort")
+    )
+    return both.unionByName(only_view).orderBy("cohort", "user_id")
+
+
+ORACLE_SET_OPS_USER_COHORTS = """
+WITH viewers AS (SELECT user_id FROM events WHERE event_type = 'view'),
+     erroring AS (SELECT user_id FROM events WHERE event_type = 'error')
+SELECT user_id, 'view_and_error' AS cohort
+FROM (SELECT user_id FROM viewers INTERSECT SELECT user_id FROM erroring)
+UNION ALL
+SELECT user_id, 'view_only' AS cohort
+FROM (SELECT DISTINCT user_id FROM viewers
+      WHERE user_id NOT IN (SELECT user_id FROM erroring))
+ORDER BY cohort, user_id
+"""
+
+
 QUERIES = {
+    "set_ops_user_cohorts": set_ops_user_cohorts,
     "video_type_distribution": video_type_distribution,
     "email_topic_projection": email_topic_projection,
     "duration_parse": duration_parse,
@@ -298,6 +331,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "set_ops_user_cohorts": ORACLE_SET_OPS_USER_COHORTS,
     "video_type_distribution": ORACLE_VIDEO_TYPE_DISTRIBUTION,
     "email_topic_projection": ORACLE_EMAIL_TOPIC_PROJECTION,
     "duration_parse": ORACLE_DURATION_PARSE,

@@ -347,8 +347,63 @@ FROM ranked WHERE rn = 1 ORDER BY day
 """
 
 
+def rolling_daily_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window surface (§2.6 note: absent from the reference,
+    free in the engine): 7-day trailing average of daily request volume
+    per event type, ``rowsBetween(-6, 0)`` over day-aggregated rows.
+
+    Scale shape: the expensive aggregation (events → daily counts) is a
+    partial-aggregable groupBy; the frame window then runs over ~days×types
+    rows — trivially small at any data scale. Sums route through DECIMAL
+    so the trailing mean is order-independent for the hash gate."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("event_type"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v_dec"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, W.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.col("v_dec").cast("double").alias("value_sum"),
+        F.round(F.avg("n").over(w), 6).alias("n_7d_avg"),
+        F.round(
+            F.sum("v_dec").over(w).cast("double") / F.count("*").over(w), 6
+        ).alias("value_7d_avg"),
+    ).orderBy("event_type", "day")
+
+
+ORACLE_ROLLING_DAILY_AVERAGE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS v_dec
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       CAST(v_dec AS DOUBLE) AS value_sum,
+       ROUND(AVG(n) OVER w, 6) AS n_7d_avg,
+       ROUND(CAST(SUM(v_dec) OVER w AS DOUBLE) / COUNT(*) OVER w, 6)
+         AS value_7d_avg
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY event_type, day
+"""
+
+
 QUERIES = {
     "daily_usage_windows": daily_usage_windows,
+    "rolling_daily_average": rolling_daily_average,
     "key_rotation_least_used": key_rotation_least_used,
     "hourly_usage_windows": hourly_usage_windows,
     "key_usage_rollup": key_usage_rollup,
@@ -359,6 +414,7 @@ QUERIES = {
 
 ORACLES = {
     "daily_usage_windows": ORACLE_DAILY_USAGE_WINDOWS,
+    "rolling_daily_average": ORACLE_ROLLING_DAILY_AVERAGE,
     "key_rotation_least_used": ORACLE_KEY_ROTATION_LEAST_USED,
     "hourly_usage_windows": ORACLE_HOURLY_USAGE_WINDOWS,
     "key_usage_rollup": ORACLE_KEY_USAGE_ROLLUP,
