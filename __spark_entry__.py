@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from youtube_api_batch_process_with_analytics_spark.analytics import channel as _channel
 from youtube_api_batch_process_with_analytics_spark.multimodal import binary_ops as _media
 from youtube_api_batch_process_with_analytics_spark.sources import rss_xml as _rss_xml
+from youtube_api_batch_process_with_analytics_spark.plans import sql_api as _sql_api
 from youtube_api_batch_process_with_analytics_spark.streaming import state as _stream_state
 from youtube_api_batch_process_with_analytics_spark.operators import (
     dedup as _dedup,
@@ -45,6 +46,7 @@ _MODULES = [
     _grouping,
     _sketches,
     _projections,
+    _sql_api,
 ]
 
 
