@@ -14,7 +14,7 @@ default).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table, spread
@@ -218,13 +218,117 @@ FROM n ORDER BY doc_id
 """
 
 
+QUALITY_KEEP = 0.8
+LANG_KEEP = ("en", "de", "fr")
+
+
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline a training-data job runs, as one
+    query: quality gate → language keep-list → exact dedup survivorship,
+    with per-source funnel counts.
+
+    Composition of the engine's own operators: the `doc_text_stats`
+    quality score, the `lang` keep-list filter, and first-occurrence
+    exact dedup (md5(text) window, lowest doc_id survives — the
+    `dedup_exact` rule). Scale shape: one window shuffle on the content
+    hash + one partial-aggregable groupBy(source); flags are conditional
+    sums, so every stage count comes out of a single pass rather than
+    re-scanning the corpus per stage (the usual funnel anti-pattern).
+    (The fixture corpus contains no exact duplicate texts, so the dedup
+    stage passes survivors through — the window is still computed and the
+    oracle mirrors it, so the stage is verified, not skipped.)
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_tokens = F.size(_tokens()).cast("long")
+    n_chars = F.length("text").cast("long")
+    punct_ratio = F.round(
+        F.length(F.regexp_replace(F.col("text"), PUNCT_CLASS, "")) / n_chars, 6
+    )
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    stopword_hits = F.expr(
+        f"size(filter(split(trim(text), '\\\\s+'),"
+        f" t -> array_contains(array({stop}), t)))"
+    ).cast("long")
+    stopword_ratio = F.round(stopword_hits / n_tokens, 6)
+    quality = F.round(
+        0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (1.0 - punct_ratio)
+        + 0.2 * F.least(stopword_ratio * 5.0, F.lit(1.0)),
+        6,
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    flagged = docs.select(
+        "source",
+        quality.alias("q"),
+        F.col("lang"),
+        (F.row_number().over(w) == 1).alias("is_first"),
+    ).select(
+        "source",
+        (F.col("q") >= QUALITY_KEEP).alias("pass_q"),
+        F.col("lang").isin(*LANG_KEEP).alias("pass_l"),
+        "is_first",
+    )
+    c = lambda col: F.sum(F.when(col, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            c(F.col("pass_q")).alias("pass_quality"),
+            c(F.col("pass_q") & F.col("pass_l")).alias("pass_quality_lang"),
+            c(F.col("pass_q") & F.col("pass_l") & F.col("is_first")).alias(
+                "kept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CORPUS_CURATION_FUNNEL = f"""
+WITH t AS (
+  SELECT doc_id, text, lang, source,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         LENGTH(text) AS n_chars
+  FROM documents
+),
+scored AS (
+  SELECT source, lang, doc_id, text,
+         ROUND(0.5 * LEAST(len(toks) / 100.0, 1.0)
+               + 0.3 * (1.0 - ROUND(LENGTH(regexp_replace(text,
+                     '{PUNCT_CLASS}', '', 'g')) / n_chars, 6))
+               + 0.2 * LEAST(ROUND(CAST(len(list_filter(toks,
+                     x -> list_contains({list(STOPWORDS)}, x))) AS BIGINT)
+                     / len(toks), 6) * 5.0, 1.0), 6) AS q,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+           AS is_first
+  FROM t
+),
+flagged AS (
+  SELECT source,
+         q >= {QUALITY_KEEP} AS pass_q,
+         lang IN {LANG_KEEP} AS pass_l,
+         is_first
+  FROM scored
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN pass_q THEN 1 ELSE 0 END) AS BIGINT) AS pass_quality,
+       CAST(SUM(CASE WHEN pass_q AND pass_l THEN 1 ELSE 0 END) AS BIGINT)
+         AS pass_quality_lang,
+       CAST(SUM(CASE WHEN pass_q AND pass_l AND is_first THEN 1 ELSE 0 END)
+            AS BIGINT) AS kept
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "corpus_curation_funnel": corpus_curation_funnel,
     "doc_text_stats": doc_text_stats,
     "language_id": language_id,
     "doc_fingerprint": doc_fingerprint,
 }
 
 ORACLES = {
+    "corpus_curation_funnel": ORACLE_CORPUS_CURATION_FUNNEL,
     "doc_text_stats": ORACLE_DOC_TEXT_STATS,
     "language_id": ORACLE_LANGUAGE_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
