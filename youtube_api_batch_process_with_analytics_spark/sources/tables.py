@@ -30,6 +30,16 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Memoized DataFrame handles per (session, sf_dir, table). A DataFrame is an
+# immutable logical plan, so reuse is safe; this avoids re-reading parquet
+# footers (a driver-side file-listing + schema RPC, ~0.1-0.3 s each) on every
+# query in a suite — the per-query analog of a catalog/metastore a production
+# cluster consults once.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# View names are session-global, so track which sf_dir the session's views
+# currently point at — a later call with a different sf_dir re-registers.
+_VIEWS_CURRENT: dict[str, str] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Schema comes from parquet footers (explicit, fixed).
@@ -42,13 +52,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        return df.withColumn(
+        df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
         )
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -67,6 +84,11 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for the SQL API."""
+    """Register every table as a temp view for the SQL API (idempotent per
+    session + sf_dir, like a shared catalog)."""
+    app_id = spark.sparkContext.applicationId
+    if _VIEWS_CURRENT.get(app_id) == sf_dir:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEWS_CURRENT[app_id] = sf_dir
