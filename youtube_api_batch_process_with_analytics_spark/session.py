@@ -39,6 +39,11 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # parallelismFirst stays at its default (true): several operators
+        # (LSH verification, range-join expansion) are CPU-bound per row
+        # with tiny byte sizes, and size-targeted coalescing would
+        # serialize them onto one core. Measured: parallelismFirst=false
+        # regressed the suite ~15% at sf0.1.
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
