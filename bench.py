@@ -65,11 +65,19 @@ def main() -> None:
     wq.awaitTermination(120)
     wq.stop()
 
+    # Two timed runs per query, report the min (steady state). The first
+    # execution of each query pays one-time whole-stage-codegen compilation
+    # and JIT warm-up that a long-lived cluster amortizes across thousands
+    # of runs; single cold samples made the suite total swing +/-20% across
+    # identical code, drowning real regressions in noise.
     timings: dict[str, float] = {}
     for name in sorted(qs):
-        t0 = time.perf_counter()
-        _force(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
