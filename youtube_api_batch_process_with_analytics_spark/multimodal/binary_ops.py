@@ -221,7 +221,7 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "n_bytes",
         F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
-    ).orderBy("media_id")
+    )
 
 
 # hex-digit value without relying on from_hex/unhex availability
@@ -262,7 +262,7 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_height",
         F.md5("resized").alias("resized_md5"),
         F.length("resized").cast("long").alias("resized_bytes"),
-    ).orderBy("media_id")
+    )
 
 
 _RESIZE_SLICE = 224 * 224 // 1024  # 49 bytes
@@ -292,7 +292,7 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.md5("frame").alias("frame_md5"),
         F.length("frame").cast("long").alias("frame_bytes"),
-    ).orderBy("media_id", "frame_idx")
+    )
 
 
 ORACLE_MEDIA_FRAME_SAMPLE = f"""

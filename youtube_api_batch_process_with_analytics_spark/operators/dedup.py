@@ -108,7 +108,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "group_size",
             (F.col("doc_id") != F.col("canonical_doc_id")).alias("is_duplicate"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -292,7 +291,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket_size",
             (F.col("bucket_size") > 1).alias("has_near_dup"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -88,7 +88,6 @@ def semi_join_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(ids), orders.o_custkey == ids.c_custkey, "left_semi"
         )
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-        .orderBy("o_orderkey")
     )
 
 
@@ -125,7 +124,6 @@ def dim_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_name"), F.lit("UNKNOWN")).alias("nation_name"),
             F.coalesce(F.col("r_name"), F.lit("UNKNOWN")).alias("region_name"),
         )
-        .orderBy("c_custkey")
     )
 
 

@@ -183,7 +183,7 @@ def language_fallback_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = language_name_fallback(
         base, _language_dim(spark, sf_dir), "code", "language_name"
     )
-    return out.select("doc_id", "code", "language_name").orderBy("doc_id")
+    return out.select("doc_id", "code", "language_name")
 
 
 ORACLE_LANGUAGE_FALLBACK_RESOLUTION = """
@@ -563,9 +563,11 @@ def channel_by_handle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.text import normalize_handle
 
-    raw_handles = spark.createDataFrame(
-        [("@@ch3",), ("ch6",), ("@ch9",), ("@ch12",), ("@nosuch",)],
-        ["raw_handle"],
+    # literal VALUES relation, not createDataFrame: a LocalRelation stays
+    # driver-local (no Python-RDD pickle round trip, trivial broadcast)
+    raw_handles = spark.sql(
+        "SELECT * FROM VALUES ('@@ch3'), ('ch6'), ('@ch9'), ('@ch12'),"
+        " ('@nosuch') AS t(raw_handle)"
     ).select(normalize_handle(F.col("raw_handle")).alias("handle"))
     raw = _raw_channels(spark, sf_dir)
     hit = raw.join(
@@ -583,7 +585,7 @@ def channel_by_handle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "video_count",
         "privacy_status",
         "uploads_playlist",
-    ).orderBy(F.col("id").cast("long"))
+    )
 
 
 ORACLE_CHANNEL_BY_HANDLE = """

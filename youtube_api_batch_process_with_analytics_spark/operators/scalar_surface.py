@@ -96,7 +96,7 @@ def email_topic_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_email(desc).alias("email"),
         F.array_join(beautify_topic_categories(categories), ", ").alias("topics"),
         normalize_handle(F.concat(F.lit("@@"), F.col("source"))).alias("handle"),
-    ).orderBy("doc_id")
+    )
 
 
 ORACLE_EMAIL_TOPIC_PROJECTION = f"""

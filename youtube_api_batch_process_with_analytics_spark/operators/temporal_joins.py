@@ -175,7 +175,6 @@ def events_in_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events_in_window"),
             F.min("ts").alias("first_event"),
         )
-        .orderBy("o_orderkey")
     )
 
 

@@ -85,7 +85,7 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stopword_ratio.alias("stopword_ratio"),
         avg_token_len.alias("avg_token_len"),
         quality.alias("quality_score"),
-    ).orderBy("doc_id")
+    )
 
 
 ORACLE_DOC_TEXT_STATS = f"""
@@ -149,7 +149,7 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(total > 0, F.round(best / total * 100.0, 1))
         .otherwise(F.lit(0.0))
         .alias("confidence"),
-    ).orderBy("doc_id")
+    )
 
 
 def _duck_markers(lang: str) -> str:
@@ -201,7 +201,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.substring(fp, 1, 8).alias("fingerprint_prefix"),
         F.length(normalized).cast("long").alias("normalized_len"),
-    ).orderBy("doc_id")
+    )
 
 
 ORACLE_DOC_FINGERPRINT = """
