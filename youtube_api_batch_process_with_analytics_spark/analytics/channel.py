@@ -271,7 +271,7 @@ def channel_type_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(long_pct >= 70.0, F.lit("long"))
         .otherwise(F.lit("mixed"))
         .alias("channel_type"),
-    ).orderBy("channel_id")
+    )
 
 
 ORACLE_CHANNEL_TYPE_CLASSIFICATION = """
@@ -336,7 +336,6 @@ def language_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
             F.round(F.col("cnt") / F.col("total") * 100.0, 1).alias("confidence"),
         )
-        .orderBy("channel_id")
     )
 
 
@@ -379,7 +378,6 @@ def language_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("language_count"),
             pct_of(F.col("cnt"), F.col("total")).alias("percentage"),
         )
-        .orderBy("channel_id", "language")
     )
 
 

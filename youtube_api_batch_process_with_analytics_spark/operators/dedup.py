@@ -203,9 +203,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    return verified.select("doc_id_a", "doc_id_b", "jaccard").orderBy(
-        "doc_id_a", "doc_id_b"
-    )
+    return verified.select("doc_id_a", "doc_id_b", "jaccard")
 
 
 def _duck_minhash(p: int) -> str:
@@ -371,7 +369,6 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.2)
         .select("source", "doc_id_a", "doc_id_b", "jaccard")
-        .orderBy("source", "doc_id_a", "doc_id_b")
     )
 
 
@@ -483,7 +480,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cosine") >= EMB_COSINE_THRESHOLD)
         .select("vec_id_a", "vec_id_b", "cosine")
-        .orderBy("vec_id_a", "vec_id_b")
     )
 
 

@@ -304,7 +304,7 @@ def set_ops_user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     only_view = viewers.subtract(erroring).select(
         F.col("user_id"), F.lit("view_only").alias("cohort")
     )
-    return both.unionByName(only_view).orderBy("cohort", "user_id")
+    return both.unionByName(only_view)
 
 
 ORACLE_SET_OPS_USER_COHORTS = """

@@ -205,7 +205,6 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "n_errors",
         )
-        .orderBy("user_id", "session_start")
     )
 
 
