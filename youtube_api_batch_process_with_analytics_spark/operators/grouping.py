@@ -32,9 +32,11 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and shuffle rows. Because count/sum are additive, the engine instead
     aggregates once at the finest grain (a few cells) and rollups over
     that tiny base: same answer, one pass over the fact table. At 100 TB
-    this cuts shuffle volume 3×; ``spread`` only widens the local
-    single-split scan (no-op shape on a real cluster)."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    this cuts shuffle volume 3×. No ``spread`` here: partial aggregation
+    collapses each scan split to a handful of cells before any exchange,
+    so repartitioning the full fact table first would shuffle every row
+    to save nothing — wrong locally and catastrophically wrong at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
     base = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),

@@ -394,7 +394,12 @@ ORACLES = {
 def _raw_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested video resources synthesized from ``orders`` — the raw shape
     P2 consumes (snippet/contentDetails/statistics/status/topicDetails/
-    player parts, config.py:78)."""
+    player parts, config.py:78).
+
+    No ``spread`` here: measured locally, shuffling 150k nested rows
+    costs exactly what the parallelized formatter saves (1.3s either
+    way), and on a real cluster the scan arrives already split — keep
+    the formatter pipelined into the scan with zero exchanges."""
     o = load_table(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     dur = (
