@@ -108,3 +108,23 @@ def test_ann_broadcasts_query_side(spark, sf_dir):
     shuffles; only ranked candidates move."""
     plan = _plan(_QUERIES["ann_cosine_topk"](spark, sf_dir))
     assert "Broadcast" in plan
+
+
+def test_no_global_sort_at_any_query_root(spark, sf_dir):
+    """The correctness gate hashes results order-insensitively, so a global
+    orderBy at the root of a query is a pure range-shuffle tax — at 100 TB
+    it is a full-result sort nobody reads. Semantic sorts survive: top-k
+    compiles under a limit (GlobalLimit root), window/frame orderings live
+    inside Window nodes, and the as-of union-sort is mid-plan. Pinned over
+    EVERY registered query so a new operator can't reintroduce the
+    pattern. Exclusions: quota_latch_final (building it runs a real
+    streaming job; its batch projection has no sort either) and
+    pricing_summary (its value is running the IDENTICAL ANSI text as its
+    DuckDB oracle, ORDER BY included — a 6-row sort)."""
+    for name, fn in _QUERIES.items():
+        if name in ("quota_latch_final", "pricing_summary"):
+            continue
+        root = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan()
+        assert root.getClass().getSimpleName() != "Sort", (
+            f"{name} ends in a global sort"
+        )

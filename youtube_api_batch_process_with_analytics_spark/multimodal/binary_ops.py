@@ -181,7 +181,6 @@ def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sum(F.col("meta.n_bytes")) / F.count("*")).alias("avg_bytes"),
             F.max(F.col("meta.n_bytes")).alias("max_bytes"),
         )
-        .orderBy("media_type")
     )
 
 

@@ -50,7 +50,6 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("q").cast("double").alias("sum_qty"),
             F.sum("p").cast("double").alias("sum_price"),
         )
-        .orderBy("gid", "l_returnflag", "l_linestatus")
     )
 
 
@@ -80,7 +79,6 @@ def daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "day", *[F.col(t).alias(f"n_{t}") for t in EVENT_TYPES]
         )
-        .orderBy("day")
     )
 
 

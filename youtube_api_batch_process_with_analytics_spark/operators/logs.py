@@ -61,7 +61,6 @@ def log_page(
         topk.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") > offset) & (F.col("rn") <= offset + limit))
         .select("event_id", "ts", "user_id", "event_type", "value")
-        .orderBy(F.desc("ts"), F.asc("event_id"))
     )
 
 
@@ -115,7 +114,6 @@ def log_level_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events(spark, sf_dir)
         .groupBy(F.col("event_type").alias("level"))
         .agg(F.count("*").alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("level"))
     )
 
 
@@ -156,7 +154,6 @@ def recent_level_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("max_ts") - F.expr("INTERVAL 1 DAY"))
         .groupBy(F.col("event_type").alias("level"))
         .agg(F.count("*").alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("level"))
     )
 
 
@@ -186,7 +183,6 @@ def retention_cleanup(spark: SparkSession, sf_dir: str, days: int = 7) -> DataFr
             F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("kept_count"),
             F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("deleted_count"),
         )
-        .orderBy("level")
     )
 
 

@@ -47,7 +47,7 @@ def video_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "video_type",
         "n",
         F.round(F.col("n") / F.sum("n").over(w) * 100, 1).alias("pct"),
-    ).orderBy("video_type")
+    )
 
 
 ORACLE_VIDEO_TYPE_DISTRIBUTION = """
@@ -200,7 +200,6 @@ def json_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").alias("k_min"),
             F.max("k").alias("k_max"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -234,7 +233,7 @@ def batch_union_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = orders.agg(
         F.count("*").alias("n"), F.max("o_totalprice").alias("max_price")
     ).select(F.lit("orders_1").alias("request_id"), "n", "max_price")
-    return a.unionByName(b, allowMissingColumns=True).orderBy("request_id")
+    return a.unionByName(b, allowMissingColumns=True)
 
 
 ORACLE_BATCH_UNION_ENVELOPE = """
@@ -270,7 +269,7 @@ def cache_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_cell.select(
         "user_id", "day", "n_events", status.alias("cache_status")
-    ).orderBy("user_id", "day")
+    )
 
 
 ORACLE_CACHE_STATUS_ROLLUP = """

@@ -89,7 +89,6 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "label", "cosine")
-        .orderBy("query_id", "rank")
     )
 
 
@@ -192,7 +191,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "cosine",
         )
-        .orderBy("query_id", "rank")
     )
 
 
@@ -316,7 +314,6 @@ def cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "cosine",
         )
-        .orderBy("query_id", "rank")
     )
 
 

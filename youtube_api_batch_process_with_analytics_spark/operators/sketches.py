@@ -45,7 +45,6 @@ def approx_usage_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("value_pcts", 3), 2).alias("p99"),
             "n_events",
         )
-        .orderBy("event_type")
     )
 
 

@@ -279,7 +279,6 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "kept"
             ),
         )
-        .orderBy("source")
     )
 
 

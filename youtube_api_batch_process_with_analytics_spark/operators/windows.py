@@ -46,7 +46,6 @@ def daily_usage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (F.col("requests") >= 0.9 * DAILY_QUOTA).alias("quota_warning"),
         )
-        .orderBy("key_id", "day_start")
     )
 
 
@@ -81,7 +80,6 @@ def hourly_usage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
             (F.col("requests") < HOURLY_QUOTA).alias("admitted"),
         )
-        .orderBy("hour_start")
     )
 
 
@@ -122,7 +120,6 @@ def key_usage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "success_rate",
             F.round(F.col("succeeded") / F.col("total_requests") * 100.0, 2),
         )
-        .orderBy("key_id")
     )
 
 
@@ -158,7 +155,6 @@ def cache_ttl_filter(spark: SparkSession, sf_dir: str, ttl_seconds: int = 1800) 
             F.sum(F.when(F.col("live"), 1).otherwise(0)).alias("live_entries"),
             F.sum(F.when(~F.col("live"), 1).otherwise(0)).alias("expired_entries"),
         )
-        .orderBy("entry_type")
     )
 
 
@@ -250,7 +246,6 @@ def distinct_usage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.date_trunc("day", F.col("ts"))).alias("active_days"),
             F.count("*").alias("n_events"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -311,7 +306,6 @@ def key_rotation_least_used(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_hour_cnt",
             "admitted_keys",
         )
-        .orderBy("day")
     )
 
 
@@ -377,7 +371,7 @@ def rolling_daily_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("v_dec").over(w).cast("double") / F.count("*").over(w), 6
         ).alias("value_7d_avg"),
-    ).orderBy("event_type", "day")
+    )
 
 
 ORACLE_ROLLING_DAILY_AVERAGE = """

@@ -205,7 +205,6 @@ def quota_latch_final(spark, sf_dir: str) -> DataFrame:
             " where rn = 1"
         )
         .drop("rn")
-        .orderBy("key_id")
     )
 
 
