@@ -533,12 +533,128 @@ ORDER BY vec_id_a, vec_id_b
 """
 
 
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup survivorship with TRANSITIVE closure: connected components
+    over the MinHash-LSH pair graph.
+
+    Pairwise near-dup output (dedup_minhash_lsh) is not enough for corpus
+    dedup: if A~B and B~C, all three must land in one cluster with one
+    canonical survivor even when A and C never pair directly. Components
+    are computed by iterative min-label propagation — each round every doc
+    takes the minimum component id among itself and its neighbors, until a
+    fixpoint (component id = smallest doc_id in the component, a
+    deterministic canonical choice mirroring dedup_exact's MIN(doc_id)).
+
+    Scale shape: this is the standard large-graph CC recipe (Pregel-style
+    hash-join rounds; at trillion-edge scale you'd switch to
+    large-star/small-star to bound hops). Each round is one shuffle join
+    keyed on doc_id over an edge list that is TINY relative to the corpus
+    (only near-dup pairs survive LSH + verification), and the driver only
+    ever sees a has-anything-changed boolean, never data. Iteration count
+    = eccentricity of each cluster's min node — near-dup clusters are
+    shallow (chains of rewrites), so a handful of rounds.
+
+    Non-reference extension (training-pipeline dedup); oracle is a DuckDB
+    WITH RECURSIVE reachability query over the identical pair CTE.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = (
+        pairs.selectExpr("doc_id_a AS src", "doc_id_b AS dst")
+        .unionAll(pairs.selectExpr("doc_id_b AS src", "doc_id_a AS dst"))
+        .persist()
+    )
+    # Iterate ONLY the pair-graph vertex set: docs with no near-dup pair are
+    # their own singleton component and never change — at corpus scale the
+    # edge-endpoint set is orders of magnitude smaller than the corpus, so
+    # the propagation rounds never touch the full documents table.
+    comp = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("component_id"))
+        .persist()
+    )
+    while True:
+        nbr_min = (
+            edges.join(comp, edges.src == comp.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_comp = (
+            comp.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("component_id")),
+                ).alias("component_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_comp.join(
+                comp.withColumnRenamed("component_id", "prev"), "doc_id"
+            )
+            .filter(F.col("component_id") != F.col("prev"))
+            .limit(1)
+            .count()
+        )
+        comp.unpersist()
+        comp = new_comp
+        if changed == 0:
+            break
+    sizes = comp.groupBy("component_id").agg(F.count("*").alias("cluster_size"))
+    clustered = comp.join(F.broadcast(sizes), "component_id").select(
+        "doc_id",
+        "component_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
+    )
+    singletons = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(comp.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("component_id"),
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.lit(True).alias("is_canonical"),
+        )
+    )
+    return clustered.unionByName(singletons)
+
+
+ORACLE_DEDUP_CONNECTED_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({ORACLE_DEDUP_MINHASH_LSH}),
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+walk(node, reach) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.reach FROM walk w JOIN edges e ON e.src = w.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(reach) AS component_id FROM walk GROUP BY node
+),
+sizes AS (
+  SELECT component_id, COUNT(*) AS cluster_size FROM comp GROUP BY component_id
+)
+SELECT c.doc_id, c.component_id, s.cluster_size,
+       c.doc_id = c.component_id AS is_canonical
+FROM comp c JOIN sizes s USING (component_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_connected_components": dedup_connected_components,
 }
 
 ORACLES = {
@@ -547,4 +663,5 @@ ORACLES = {
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
+    "dedup_connected_components": ORACLE_DEDUP_CONNECTED_COMPONENTS,
 }
