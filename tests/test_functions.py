@@ -135,20 +135,19 @@ def test_language_name_fallback(spark):
         [("en", "English"), ("es", "Spanish"), ("fr", "French")], "id string, name string"
     )
     df = spark.createDataFrame(
-        [("en",), ("EN",), ("en-US",), ("es-419",), ("xx",)], "code string"
+        [("en",), ("EN",), ("en-US",), ("es-419",), ("xx",), ("",), (None,)],
+        "code string",
     )
-    out = (
-        language_name_fallback(df, langs, "code", "name")
-        .orderBy("code")
-        .collect()
-    )
+    out = language_name_fallback(df, langs, "code", "name").collect()
     got = {r.code: r.name for r in out}
-    # exact → lowercase → base-before-dash → upper(code)
-    # (youtube_api_handler.py:336-359)
+    # exact → lowercase → base-before-dash → upper(code); falsy → 'Unknown'
+    # (youtube_api_handler.py:336-359, early return :336-341)
     assert got == {
         "en": "English",
         "EN": "English",
         "en-US": "English",
         "es-419": "Spanish",
         "xx": "XX",
+        "": "Unknown",
+        None: "Unknown",
     }

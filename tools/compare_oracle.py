@@ -42,6 +42,16 @@ def _fmt(v):
     return str(v)
 
 
+def _isna(v):
+    """Scalar NaN/NaT from a pandas fetch → None (matches Spark's NULL)."""
+    try:
+        import pandas as pd
+
+        return v is None or (not isinstance(v, (list, tuple, dict)) and pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -63,9 +73,23 @@ def main():
         if name not in oracles:
             print(f"{name}: spark_rows={len(srows)} (no oracle — rows-only)")
             continue
-        ddf = con.execute(oracles[name])
-        dcols = [d[0] for d in ddf.description]
-        drows = ddf.fetchall()
+        # Fetch through Arrow/pandas like the driver's gate does — this is
+        # what surfaces DuckDB HUGEINT→float64 coercion (an un-cast
+        # SUM(BIGINT) formats as "123.0" here and hash-mismatches), which a
+        # plain fetchall (Python int) silently hides.
+        cur = con.execute(oracles[name])
+        desc = cur.description
+        dpdf = cur.df()
+        dcols = list(dpdf.columns)
+        # DuckDB DATE comes back as pandas datetime64; restore date objects
+        # so they format like Spark's datetime.date ("2023-01-01").
+        date_cols = {d[0] for d in desc if str(d[1]).upper() == "DATE"}
+        for c in date_cols & set(dcols):
+            dpdf[c] = dpdf[c].dt.date
+        drows = [
+            tuple(None if _isna(v) else v for v in r)
+            for r in dpdf.itertuples(index=False, name=None)
+        ]
         sh = value_hash([tuple(r) for r in srows], scols)
         dh = value_hash(drows, dcols)
         ok = len(srows) == len(drows) and sorted(scols) == sorted(dcols) and sh == dh

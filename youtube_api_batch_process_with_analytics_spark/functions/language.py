@@ -66,7 +66,9 @@ def language_name_fallback(
     out_col: str = "language_name",
 ) -> DataFrame:
     """Attach ``out_col`` resolving ``code_col`` through the fallback chain
-    exact → lower → base-before-'-' → upper(code)."""
+    exact → lower → base-before-'-' → upper(code); falsy codes (NULL or '')
+    resolve to 'Unknown' like the reference's early return
+    (youtube_api_handler.py:336-341)."""
     m = language_name_map(languages)
     code = F.col(code_col)
     # try_element_at, not element_at / m[key]: under ANSI mode (Spark 4
@@ -74,10 +76,12 @@ def language_name_fallback(
     # is the normal case the fallback chain exists to handle.
     return df.withColumn(
         out_col,
-        F.coalesce(
-            F.try_element_at(m, code),
-            F.try_element_at(m, F.lower(code)),
-            F.try_element_at(m, F.substring_index(F.lower(code), "-", 1)),
-            F.upper(code),
+        F.when(code.isNull() | (code == ""), F.lit("Unknown")).otherwise(
+            F.coalesce(
+                F.try_element_at(m, code),
+                F.try_element_at(m, F.lower(code)),
+                F.try_element_at(m, F.substring_index(F.lower(code), "-", 1)),
+                F.upper(code),
+            )
         ),
     )

@@ -196,7 +196,8 @@ WITH media AS (
          CAST({_DUCK_NBYTES} AS BIGINT) AS n_bytes
   FROM documents
 )
-SELECT media_type, COUNT(*) AS n_items, SUM(n_bytes) AS total_bytes,
+SELECT media_type, COUNT(*) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        CAST(FLOOR(CAST(SUM(n_bytes) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg_bytes,
        MAX(n_bytes) AS max_bytes
 FROM media GROUP BY media_type ORDER BY media_type

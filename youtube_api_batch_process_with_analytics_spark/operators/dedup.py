@@ -533,6 +533,14 @@ ORDER BY vec_id_a, vec_id_b
 """
 
 
+# Min-label propagation converges in ≤ graph-diameter rounds; near-dup
+# clusters are shallow, so 50 is a generous safety bound, not a tuning knob.
+CC_MAX_ITERATIONS = 50
+# Final per-invocation `comp` caches that the returned plan still references;
+# drained at the start of the next invocation (see below).
+_CC_LIVE_CACHES: list[DataFrame] = []
+
+
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup survivorship with TRANSITIVE closure: connected components
     over the MinHash-LSH pair graph.
@@ -557,6 +565,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Non-reference extension (training-pipeline dedup); oracle is a DuckDB
     WITH RECURSIVE reachability query over the identical pair CTE.
     """
+    # Drain caches leaked by a previous invocation's returned plan (the final
+    # ``comp`` must stay persisted until the caller consumes the result, so
+    # release it here instead) — keeps storage flat across repeated calls.
+    while _CC_LIVE_CACHES:
+        _CC_LIVE_CACHES.pop().unpersist()
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
     edges = (
         pairs.selectExpr("doc_id_a AS src", "doc_id_b AS dst")
@@ -573,7 +586,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("component_id"))
         .persist()
     )
-    while True:
+    for _round in range(CC_MAX_ITERATIONS):
         nbr_min = (
             edges.join(comp, edges.src == comp.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
@@ -602,6 +615,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp = new_comp
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {CC_MAX_ITERATIONS} "
+            "rounds — pathological chain in the near-dup pair graph; raise "
+            "CC_MAX_ITERATIONS or switch to large-star/small-star"
+        )
+    # The `changed` count materialized the final comp, so edges' cache is no
+    # longer needed to serve the returned plan.
+    edges.unpersist()
+    _CC_LIVE_CACHES.append(comp)
     sizes = comp.groupBy("component_id").agg(F.count("*").alias("cluster_size"))
     clustered = comp.join(F.broadcast(sizes), "component_id").select(
         "doc_id",

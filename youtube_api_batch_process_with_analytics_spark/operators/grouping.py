@@ -82,8 +82,11 @@ def daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CAST: DuckDB SUM(BIGINT) returns HUGEINT, which an Arrow/pandas fetch
+# coerces to float64 ("4.0" vs Spark's "4") and the value hash diverges.
 _PIVOT_COLS = ",\n       ".join(
-    f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n_{t}"
     for t in EVENT_TYPES
 )
 

@@ -171,13 +171,16 @@ def _language_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def language_fallback_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8/J2 gate: the 3-key fallback chain (exact → lower → base-before-'-'
-    → upper(code)) over codes synthesized to hit every branch."""
+    → upper(code)) plus the falsy→'Unknown' early return, over codes
+    synthesized to hit every branch (incl. NULL and '')."""
     docs = load_table(spark, sf_dir, "documents")
     code = (
-        F.when(F.col("doc_id") % 4 == 0, F.col("lang"))
-        .when(F.col("doc_id") % 4 == 1, F.upper(F.col("lang")))
-        .when(F.col("doc_id") % 4 == 2, F.concat(F.col("lang"), F.lit("-XX")))
-        .otherwise(F.concat(F.lit("q"), (F.col("doc_id") % 7).cast("string")))
+        F.when(F.col("doc_id") % 6 == 0, F.col("lang"))
+        .when(F.col("doc_id") % 6 == 1, F.upper(F.col("lang")))
+        .when(F.col("doc_id") % 6 == 2, F.concat(F.col("lang"), F.lit("-XX")))
+        .when(F.col("doc_id") % 6 == 3, F.concat(F.lit("q"), (F.col("doc_id") % 7).cast("string")))
+        .when(F.col("doc_id") % 6 == 4, F.lit(""))
+        .otherwise(F.lit(None).cast("string"))
     )
     base = docs.select("doc_id", code.alias("code"))
     out = language_name_fallback(
@@ -192,14 +195,18 @@ WITH dim AS (
 ),
 base AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 4 = 0 THEN lang
-              WHEN doc_id % 4 = 1 THEN upper(lang)
-              WHEN doc_id % 4 = 2 THEN lang || '-XX'
-              ELSE 'q' || CAST(doc_id % 7 AS VARCHAR) END AS code
+         CASE WHEN doc_id % 6 = 0 THEN lang
+              WHEN doc_id % 6 = 1 THEN upper(lang)
+              WHEN doc_id % 6 = 2 THEN lang || '-XX'
+              WHEN doc_id % 6 = 3 THEN 'q' || CAST(doc_id % 7 AS VARCHAR)
+              WHEN doc_id % 6 = 4 THEN ''
+              ELSE NULL END AS code
   FROM documents
 )
 SELECT b.doc_id, b.code,
-       COALESCE(ne.name, nl.name, nb.name, upper(b.code)) AS language_name
+       CASE WHEN b.code IS NULL OR b.code = '' THEN 'Unknown'
+            ELSE COALESCE(ne.name, nl.name, nb.name, upper(b.code)) END
+         AS language_name
 FROM base b
 LEFT JOIN dim ne ON b.code = ne.id
 LEFT JOIN dim nl ON lower(b.code) = nl.id

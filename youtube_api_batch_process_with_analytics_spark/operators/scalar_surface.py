@@ -209,7 +209,8 @@ WITH parsed AS (
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events
 )
-SELECT event_type, COUNT(*) AS n_events, SUM(k) AS k_sum,
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
        CAST(FLOOR(CAST(SUM(k) AS DOUBLE) / COUNT(*)) AS BIGINT) AS k_avg_floor,
        MIN(k) AS k_min, MAX(k) AS k_max
 FROM parsed GROUP BY event_type ORDER BY event_type

@@ -129,7 +129,8 @@ SELECT user_id AS key_id,
        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS failed,
        CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS succeeded,
        COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS total_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS total_k,
        ROUND(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
              / COUNT(*) * 100.0, 2) AS success_rate
 FROM events GROUP BY user_id ORDER BY key_id
@@ -160,11 +161,11 @@ def cache_ttl_filter(spark: SparkSession, sf_dir: str, ttl_seconds: int = 1800) 
 
 ORACLE_CACHE_TTL_FILTER = """
 SELECT event_type AS entry_type,
-       SUM(CASE WHEN (SELECT MAX(ts) FROM events)
-                     < ts + INTERVAL 1800 SECOND THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN (SELECT MAX(ts) FROM events)
+                     < ts + INTERVAL 1800 SECOND THEN 1 ELSE 0 END) AS BIGINT)
          AS live_entries,
-       SUM(CASE WHEN (SELECT MAX(ts) FROM events)
-                     < ts + INTERVAL 1800 SECOND THEN 0 ELSE 1 END)
+       CAST(SUM(CASE WHEN (SELECT MAX(ts) FROM events)
+                     < ts + INTERVAL 1800 SECOND THEN 0 ELSE 1 END) AS BIGINT)
          AS expired_entries
 FROM events GROUP BY event_type ORDER BY entry_type
 """
@@ -224,7 +225,8 @@ SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) + INTERVAL {SESSION_GAP_HOURS} HOURS AS session_end,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors
 FROM numbered
 GROUP BY user_id, session_id
 ORDER BY user_id, session_start
@@ -340,6 +342,107 @@ FROM ranked WHERE rn = 1 ORDER BY day
 """
 
 
+def key_rotation_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 — the reference's ``round_robin`` key-selection policy
+    (youtube_api_handler.py:249-261: cycle ``(i + 1) % len(keys)`` in key
+    order) replayed deterministically over the batch request log.
+
+    Per calendar day: the admitted key pool (same daily/hourly quota
+    admission as ``key_rotation_least_used``) is ranked by key_id into
+    slots 0..n-1; the day's requests are numbered in arrival order
+    ``(ts, event_id)``; request ``seq`` is served by slot ``seq % n``.
+    Output is the per-(day, key) service rollup — how many requests each
+    key would serve and the first sequence it serves.
+
+    (The reference's third policy, ``random`` (:243-244), draws from a
+    non-seeded RNG and has no deterministic relational analog; documented
+    away rather than faked.)
+
+    Scale shape: request numbering is one day-partitioned sort window (at
+    real scale rotation is a streaming construct — this is the batch
+    replay); pool sizes are a tiny per-day dim joined broadcast-style; the
+    final assignment is an equi-join on (day, slot) — no request×key
+    expansion — followed by a partial-aggregable rollup.
+    """
+    daily_cap = 40  # same scaled quotas as key_rotation_least_used
+    hourly_cap = 4
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.col("user_id").alias("key_id"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(F.count("*").alias("hour_cnt"))
+    per_day = hourly.groupBy("key_id", "day").agg(
+        F.sum("hour_cnt").alias("daily_cnt"),
+        F.max("hour_cnt").alias("peak_hour_cnt"),
+    )
+    admitted = per_day.filter(
+        (F.col("daily_cnt") < daily_cap) & (F.col("peak_hour_cnt") < hourly_cap)
+    )
+    slot_w = W.partitionBy("day").orderBy(F.col("key_id").asc())
+    slots = admitted.select(
+        "day", "key_id", (F.row_number().over(slot_w) - 1).alias("slot")
+    )
+    pool = slots.groupBy("day").agg(F.count("*").alias("n_keys"))
+    seq_w = W.partitionBy("day").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    requests = events.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "ts", "event_id"
+    ).withColumn("seq", F.row_number().over(seq_w) - 1)
+    assigned = (
+        requests.join(F.broadcast(pool), "day")
+        .withColumn("slot", F.col("seq") % F.col("n_keys"))
+        .join(slots, ["day", "slot"])
+    )
+    return (
+        assigned.groupBy(F.col("day").cast("date").alias("day"), "key_id")
+        .agg(
+            F.count("*").alias("served_requests"),
+            F.min("seq").alias("first_seq"),
+        )
+        .select("day", "key_id", "served_requests", "first_seq")
+    )
+
+
+ORACLE_KEY_ROTATION_ROUND_ROBIN = """
+WITH hourly AS (
+  SELECT user_id AS key_id,
+         date_trunc('day', ts) AS day,
+         date_trunc('hour', ts) AS hour,
+         COUNT(*) AS hour_cnt
+  FROM events GROUP BY 1, 2, 3
+),
+per_day AS (
+  SELECT key_id, day,
+         SUM(hour_cnt) AS daily_cnt,
+         MAX(hour_cnt) AS peak_hour_cnt
+  FROM hourly GROUP BY key_id, day
+),
+slots AS (
+  SELECT key_id, day,
+         row_number() OVER (PARTITION BY day ORDER BY key_id ASC) - 1 AS slot
+  FROM per_day WHERE daily_cnt < 40 AND peak_hour_cnt < 4
+),
+pool AS (
+  SELECT day, COUNT(*) AS n_keys FROM slots GROUP BY day
+),
+requests AS (
+  SELECT date_trunc('day', ts) AS day,
+         row_number() OVER (
+           PARTITION BY date_trunc('day', ts) ORDER BY ts ASC, event_id ASC
+         ) - 1 AS seq
+  FROM events
+)
+SELECT CAST(r.day AS DATE) AS day, s.key_id,
+       COUNT(*) AS served_requests,
+       CAST(MIN(r.seq) AS BIGINT) AS first_seq
+FROM requests r
+JOIN pool p ON r.day = p.day
+JOIN slots s ON s.day = r.day AND s.slot = r.seq % p.n_keys
+GROUP BY r.day, s.key_id
+ORDER BY day, key_id
+"""
+
+
 def rolling_daily_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-spec window surface (§2.6 note: absent from the reference,
     free in the engine): 7-day trailing average of daily request volume
@@ -398,6 +501,7 @@ QUERIES = {
     "daily_usage_windows": daily_usage_windows,
     "rolling_daily_average": rolling_daily_average,
     "key_rotation_least_used": key_rotation_least_used,
+    "key_rotation_round_robin": key_rotation_round_robin,
     "hourly_usage_windows": hourly_usage_windows,
     "key_usage_rollup": key_usage_rollup,
     "cache_ttl_filter": cache_ttl_filter,
@@ -409,6 +513,7 @@ ORACLES = {
     "daily_usage_windows": ORACLE_DAILY_USAGE_WINDOWS,
     "rolling_daily_average": ORACLE_ROLLING_DAILY_AVERAGE,
     "key_rotation_least_used": ORACLE_KEY_ROTATION_LEAST_USED,
+    "key_rotation_round_robin": ORACLE_KEY_ROTATION_ROUND_ROBIN,
     "hourly_usage_windows": ORACLE_HOURLY_USAGE_WINDOWS,
     "key_usage_rollup": ORACLE_KEY_USAGE_ROLLUP,
     "cache_ttl_filter": ORACLE_CACHE_TTL_FILTER,

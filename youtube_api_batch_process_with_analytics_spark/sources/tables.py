@@ -44,11 +44,18 @@ _VIEWS_CURRENT: dict[str, str] = {}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Schema comes from parquet footers (explicit, fixed).
 
-    ``events.ts`` is written as INT64 TIMESTAMP(NANOS), which Spark rejects
-    natively; we read nanos as long (legacy conf) and rebuild a proper
-    TimestampType column with exact integer division (``div 1000`` — no
-    double roundtrip, nanos exceed 2^53). Micros truncation matches what
-    DuckDB/Python produce for the same values.
+    ``events.ts`` has shipped under two physical encodings, so normalize by
+    the *loaded* dtype rather than assuming one:
+
+    - INT64 TIMESTAMP(NANOS): Spark rejects it natively; read nanos as long
+      (legacy conf) and rebuild TimestampType with exact integer division
+      (``div 1000`` — no double roundtrip, nanos exceed 2^53).
+    - TIMESTAMP_MICROS (isAdjustedToUTC=0 → TIMESTAMP_NTZ in Spark): pass
+      through, casting NTZ → TIMESTAMP so downstream ``window()`` / interval
+      arithmetic keeps identical semantics (session tz is UTC in this repo).
+
+    Either way callers see one canonical ``ts: timestamp`` column whose
+    micros values match what DuckDB/Python produce for the same data.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -57,11 +64,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     if name == "events":
+        # Harmless when ts is already a parquet timestamp; required when it
+        # is INT64 TIMESTAMP(NANOS) (the read would fail without it).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
-        )
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+            )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # ts_type == "timestamp": already canonical.
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     _TABLE_CACHE[key] = df

@@ -210,7 +210,8 @@ def quota_latch_final(spark, sf_dir: str) -> DataFrame:
 
 ORACLE_QUOTA_LATCH_FINAL = f"""
 SELECT user_id AS key_id, COUNT(*) AS total_requests,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS total_failures,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS total_failures,
        COUNT(*) >= {LATCH_GATE_QUOTA} AS is_exhausted
 FROM events GROUP BY user_id ORDER BY key_id
 """
