@@ -19,12 +19,35 @@ def value_hash(rows, columns):
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
+def _isna(v):
+    """Scalar NaN/NaT from a pandas fetch → None (Spark NULL equivalent)."""
+    import pandas as pd
+
+    try:
+        return v is None or (
+            not isinstance(v, (list, tuple, dict)) and pd.isna(v)
+        )
+    except (TypeError, ValueError):
+        return False
+
+
 def assert_oracle_match(sdf, duck, sql):
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
     res = duck.execute(sql)
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    desc = res.description
+    # Fetch via Arrow/pandas like the driver's gate: DuckDB HUGEINT (an
+    # un-cast SUM(BIGINT)) coerces to float64 here and hash-mismatches —
+    # fetchall would silently hide that class of oracle bug.
+    dpdf = res.df()
+    dcols = list(dpdf.columns)
+    date_cols = {d[0] for d in desc if str(d[1]).upper() == "DATE"}
+    for c in date_cols & set(dcols):
+        dpdf[c] = dpdf[c].dt.date
+    drows = [
+        tuple(None if _isna(v) else v for v in r)
+        for r in dpdf.itertuples(index=False, name=None)
+    ]
     assert sorted(scols) == sorted(dcols), f"columns differ: {scols} vs {dcols}"
     assert len(srows) == len(drows), f"row count differs: {len(srows)} vs {len(drows)}"
     sh, dh = value_hash(srows, scols), value_hash(drows, dcols)

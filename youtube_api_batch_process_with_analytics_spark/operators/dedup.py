@@ -580,19 +580,25 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # their own singleton component and never change — at corpus scale the
     # edge-endpoint set is orders of magnitude smaller than the corpus, so
     # the propagation rounds never touch the full documents table.
-    comp = (
+    cached = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("component_id"))
         .persist()
     )
+    comp = cached
     for _round in range(CC_MAX_ITERATIONS):
         nbr_min = (
             edges.join(comp, edges.src == comp.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("component_id").alias("nbr_min"))
         )
-        new_comp = (
+        # Carry the did-anything-move flag inside the propagation join
+        # itself: one keyed join + one flag scan per round, instead of a
+        # second comp-vs-new_comp join just to detect convergence.
+        # `cached` is the persisted handle (comp is a projection over it,
+        # so unpersist must target `cached`, not comp).
+        stepped = (
             comp.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
@@ -600,19 +606,17 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("component_id"),
                     F.coalesce(F.col("nbr_min"), F.col("component_id")),
                 ).alias("component_id"),
+                (
+                    F.coalesce(F.col("nbr_min"), F.col("component_id"))
+                    < F.col("component_id")
+                ).alias("moved"),
             )
             .persist()
         )
-        changed = (
-            new_comp.join(
-                comp.withColumnRenamed("component_id", "prev"), "doc_id"
-            )
-            .filter(F.col("component_id") != F.col("prev"))
-            .limit(1)
-            .count()
-        )
-        comp.unpersist()
-        comp = new_comp
+        changed = stepped.filter(F.col("moved")).limit(1).count()
+        cached.unpersist()
+        cached = stepped
+        comp = stepped.drop("moved")
         if changed == 0:
             break
     else:
@@ -624,7 +628,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The `changed` count materialized the final comp, so edges' cache is no
     # longer needed to serve the returned plan.
     edges.unpersist()
-    _CC_LIVE_CACHES.append(comp)
+    _CC_LIVE_CACHES.append(cached)
     sizes = comp.groupBy("component_id").agg(F.count("*").alias("cluster_size"))
     clustered = comp.join(F.broadcast(sizes), "component_id").select(
         "doc_id",
