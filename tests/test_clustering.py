@@ -1,0 +1,92 @@
+"""Differential test: Spark Lloyd k-means vs a NumPy replica of the exact
+same deterministic algorithm (same init, same tie-break, same iteration
+count). Assignments must agree exactly; centroids to float tolerance (the
+Spark side sums through DECIMAL — order-independent — while NumPy sums
+float64 in index order, so last-ulp drift is expected and bounded)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from youtube_api_batch_process_with_analytics_spark.operators.clustering import (
+    kmeans_assign,
+    kmeans_centroids,
+    kmeans_lloyd,
+)
+from youtube_api_batch_process_with_analytics_spark.sources import load_table
+
+K = 4
+N_ITER = 3
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
+    )
+
+
+def _numpy_lloyd(ids, X, k, n_iter):
+    def means(assign):
+        cents = {}
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cents[c] = X[m].mean(axis=0)
+        fallback = cents[min(cents)]
+        return np.stack([cents.get(c, fallback) for c in range(k)])
+
+    assign = ids % k
+    C = means(assign)
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin takes the first min → lowest id
+        C = means(assign)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1), C
+
+
+def test_kmeans_matches_numpy(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.vec for r in rows], dtype=np.float64)
+
+    got = {
+        r.vec_id: r.cluster
+        for r in kmeans_lloyd(emb, k=K, n_iter=N_ITER).collect()
+    }
+    want_assign, want_C = _numpy_lloyd(ids, X, K, N_ITER)
+    want = dict(zip(ids.tolist(), want_assign.tolist()))
+    mismatched = {i for i in want if got[i] != want[i]}
+    assert not mismatched, f"{len(mismatched)} assignments differ: {sorted(mismatched)[:5]}"
+
+    C = np.array(kmeans_centroids(emb, k=K, n_iter=N_ITER))
+    assert C.shape == want_C.shape
+    np.testing.assert_allclose(C, want_C, rtol=0, atol=1e-9)
+
+
+def test_kmeans_assign_is_map_only(spark, sf_dir):
+    """The data-sized step must be shuffle-free: literal centroids, no
+    Exchange in the assignment plan."""
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_centroids(emb, k=K, n_iter=1)
+    plan = kmeans_assign(emb, cents)._sc._jvm.PythonSQLUtils.explainString(
+        kmeans_assign(emb, cents)._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_kmeans_empty_cluster_reseeds(spark):
+    """k larger than the distinct-point count forces empty clusters; the
+    job must still return exactly k centroids and a total assignment."""
+    df = spark.createDataFrame(
+        [(i, [float(i % 2), 0.0]) for i in range(6)], "vec_id long, vec array<double>"
+    )
+    out = kmeans_lloyd(df, k=5, n_iter=2)
+    assert out.count() == 6
+    cents = kmeans_centroids(df, k=5, n_iter=2)
+    assert len(cents) == 5

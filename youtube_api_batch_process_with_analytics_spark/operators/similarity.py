@@ -135,8 +135,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Centroids here are per-label mean vectors (labels stand in for k-means
     cell assignments, which at scale come from a separate clustering job —
-    the probe/search plumbing is identical). Decimal sums keep centroid
-    values order-independent.
+    ``operators/clustering.py:kmeans_lloyd`` is that job; the probe/search
+    plumbing is identical). Decimal sums keep centroid values
+    order-independent.
     """
     emb = (
         spread(load_table(spark, sf_dir, "embeddings"))
