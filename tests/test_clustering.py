@@ -80,6 +80,43 @@ def test_kmeans_assign_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
+def test_kmeans_cells_drive_ivf_recall(spark, sf_dir):
+    """End-to-end: k-means cells feed the IVF probe/search shape
+    (assign → probe nearest centroids → search inside probed cells) and
+    must recover most of the brute-force top-k. This is the production
+    wiring ann_ivf_topk's docstring defers to — labels replaced by learned
+    cells."""
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_centroids(emb, k=K, n_iter=N_ITER)
+    cells = kmeans_assign(emb, cents)
+
+    rows = cells.collect()
+    X = {r.vec_id: np.array(r.vec) for r in rows}
+    cell_of = {r.vec_id: r.cluster for r in rows}
+    C = np.array(cents)
+    ids = sorted(X)
+    M = np.stack([X[i] for i in ids])
+    norms = np.linalg.norm(M, axis=1)
+    queries = [i for i in ids if i % 10 == 0]
+
+    top_k, n_probe, hits, total = 5, 2, 0, 0
+    for q in queries:
+        qv = X[q]
+        cos = (M @ qv) / (norms * np.linalg.norm(qv))
+        order = [i for _, i in sorted(zip(-cos, ids)) if i != q]
+        truth = set(order[:top_k])
+        # probe the n_probe nearest centroids, search only inside them
+        ccos = (C @ qv) / (np.linalg.norm(C, axis=1) * np.linalg.norm(qv))
+        probed = set(np.argsort(-ccos)[:n_probe].tolist())
+        cand = [i for i in ids if cell_of[i] in probed and i != q]
+        cand.sort(key=lambda i: -cos[ids.index(i)])
+        got = set(cand[:top_k])
+        hits += len(truth & got)
+        total += top_k
+    recall = hits / total
+    assert recall >= 0.5, f"IVF-over-kmeans recall too low: {recall:.2f}"
+
+
 def test_kmeans_empty_cluster_reseeds(spark):
     """k larger than the distinct-point count forces empty clusters; the
     job must still return exactly k centroids and a total assignment."""
