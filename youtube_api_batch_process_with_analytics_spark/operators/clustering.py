@@ -82,25 +82,24 @@ def kmeans_lloyd(emb: DataFrame, k: int = 8, n_iter: int = 5) -> DataFrame:
 
     Fixed ``n_iter`` rounds (no convergence probe — determinism and a
     bounded job count beat saving one late iteration; Lloyd's inertia is
-    monotone so extra rounds never hurt correctness). Each round collects
-    the k×d centroid matrix to the driver — bounded, exactly what Spark
-    ML's KMeans does — and re-broadcasts it as literals, so the plan depth
-    per round is constant.
+    monotone so extra rounds never hurt correctness).
+    """
+    emb = emb.select("vec_id", "vec")
+    return kmeans_assign(emb, kmeans_centroids(emb, k, n_iter)).select(
+        "vec_id", "cluster"
+    )
+
+
+def kmeans_centroids(emb: DataFrame, k: int = 8, n_iter: int = 5) -> list[list[float]]:
+    """The final centroid matrix (k×d, driver-side) for downstream IVF use.
+
+    Each round collects the k×d matrix to the driver — bounded, exactly
+    what Spark ML's KMeans does with ``clusterCenters`` — and re-enters it
+    as literals, so plan depth per round is constant (no lineage stacking).
     """
     emb = emb.select("vec_id", "vec")
     # Random-partition init seeded by the stable id: cluster c = mean of
     # vectors with vec_id % k == c.
-    seeded = emb.withColumn("cluster", (F.col("vec_id") % k).cast("int"))
-    centroids = _collect_centroids(_mean_by_key(seeded, "cluster"), k)
-    for _ in range(n_iter):
-        assigned = kmeans_assign(emb, centroids)
-        centroids = _collect_centroids(_mean_by_key(assigned, "cluster"), k)
-    return kmeans_assign(emb, centroids).select("vec_id", "cluster")
-
-
-def kmeans_centroids(emb: DataFrame, k: int = 8, n_iter: int = 5) -> list[list[float]]:
-    """The final centroid matrix (k×d, driver-side) for downstream IVF use."""
-    emb = emb.select("vec_id", "vec")
     seeded = emb.withColumn("cluster", (F.col("vec_id") % k).cast("int"))
     centroids = _collect_centroids(_mean_by_key(seeded, "cluster"), k)
     for _ in range(n_iter):
