@@ -1,0 +1,91 @@
+"""Differential tests for corpus-prep operators (chunk / split / pack)
+against DuckDB twins — same row-count + column + value-hash contract as the
+gated queries (these ops stay out of ``queries()`` only because the driver
+checks a fixed-size head of that dict)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.oracle_utils import assert_oracle_match
+from youtube_api_batch_process_with_analytics_spark.operators.chunking import (
+    chunk_documents,
+    oracle_chunk_documents,
+    oracle_pack_sequences,
+    oracle_split_by_hash,
+    pack_sequences,
+    split_by_hash,
+)
+from youtube_api_batch_process_with_analytics_spark.sources import load_table
+
+
+def test_chunk_documents_matches_oracle(spark, duck, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs).select(
+        "doc_id", "chunk_idx", "chunk_text", "n_tokens"
+    )
+    assert_oracle_match(out, duck, oracle_chunk_documents())
+
+
+def test_chunk_overlap_semantics(spark, sf_dir):
+    """Consecutive chunks of one long doc share exactly `overlap` tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunked = chunk_documents(docs, chunk_tokens=8, overlap=3)
+    row = (
+        chunked.filter(F.col("chunk_idx") == 0)
+        .join(
+            chunked.filter(F.col("chunk_idx") == 1).select(
+                "doc_id", F.col("chunk_text").alias("next_text")
+            ),
+            "doc_id",
+        )
+        .first()
+    )
+    assert row is not None, "corpus has no doc long enough for 2 chunks"
+    first, second = row.chunk_text.split(" "), row.next_text.split(" ")
+    assert first[-3:] == second[:3]
+
+
+def test_split_by_hash_matches_oracle(spark, duck, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = split_by_hash(docs).select("doc_id", "split_bucket", "split")
+    assert_oracle_match(out, duck, oracle_split_by_hash())
+
+
+def test_split_is_stable_and_near_fraction(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = {r.doc_id: r.split for r in split_by_hash(docs).collect()}
+    b = {r.doc_id: r.split for r in split_by_hash(docs).collect()}
+    assert a == b
+    frac = sum(1 for v in a.values() if v == "val") / len(a)
+    assert 0.03 <= frac <= 0.20, frac  # 10% target, small-corpus variance
+
+
+def test_pack_sequences_matches_oracle(spark, duck, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    out = pack_sequences(with_tokens)
+    assert_oracle_match(out, duck, oracle_pack_sequences())
+
+
+def test_pack_bins_respect_budget_boundaries(spark, sf_dir):
+    """A document's bin equals completed-budgets-before-it; bins within a
+    group are non-decreasing in doc order and offsets stay under budget."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    rows = pack_sequences(with_tokens, budget=100).collect()
+    by_group: dict = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.doc_id)):
+        assert 0 <= r.bin_offset < 100
+        prev = by_group.get(r.source)
+        if prev is not None:
+            assert r.bin >= prev
+        by_group[r.source] = r.bin
