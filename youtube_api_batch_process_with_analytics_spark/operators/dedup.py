@@ -675,6 +675,48 @@ ORDER BY doc_id
 """
 
 
+CONTAMINATION_MIN_SHARED = 3
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_shared: int = CONTAMINATION_MIN_SHARED,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ≥ ``min_shared``
+    distinct word-3-shingles with any benchmark item.
+
+    ``docs`` needs (doc_id, text); ``benchmark`` needs (bench_id, text).
+    Output: (doc_id, bench_id, shared_shingles) per contaminated pair.
+
+    Scale shape: shingle both sides (map-only), inner-join on the shingle
+    string — a posting-list join keyed on shingle, NOT doc×bench pairs; the
+    pair space materializes only where an actual shingle co-occurs. The
+    benchmark side is tiny by definition (an eval set), so the join
+    broadcasts; the corpus side streams through. A production variant
+    hashes shingles to 8 bytes first — same plan, smaller keys.
+    """
+    d = _posting_list(docs, "doc_id")
+    b = _posting_list(benchmark, "bench_id")
+    return (
+        d.join(F.broadcast(b), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= min_shared)
+    )
+
+
+def _posting_list(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, shingle) posting list; tokens materialize once per row (the
+    two-step projection — inlining the split into the shingle lambda would
+    re-run the regex per shingle, the O(tokens²) trap noted atop)."""
+    return (
+        df.selectExpr(id_col, f"{_TOKS_SPARK} AS toks")
+        .selectExpr(id_col, f"{_SHINGLES_FROM_TOKS_SPARK} AS shingles")
+        .select(id_col, F.explode("shingles").alias("shingle"))
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
