@@ -89,3 +89,24 @@ def test_pack_bins_respect_budget_boundaries(spark, sf_dir):
         if prev is not None:
             assert r.bin >= prev
         by_group[r.source] = r.bin
+
+
+def test_redact_pii(spark):
+    from youtube_api_batch_process_with_analytics_spark.operators.text_analysis import (
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("reach me at bob.smith+x@mail.example.com or +1 (415) 555-0199",),
+            ("no pii here, just 42 tokens",),
+            ("two mails a@b.co c@d.io and 0800 123 4567",),
+            (None,),
+        ],
+        "text string",
+    )
+    got = [r.out for r in df.select(redact_pii(F.col("text")).alias("out")).collect()]
+    assert got[0] == "reach me at [EMAIL] or [PHONE]"
+    assert got[1] == "no pii here, just 42 tokens"
+    assert got[2] == "two mails [EMAIL] [EMAIL] and [PHONE]"
+    assert got[3] is None

@@ -319,6 +319,33 @@ FROM flagged GROUP BY source ORDER BY source
 """
 
 
+# PII patterns for redaction. Email reuses the extractor's pattern
+# (functions/text.py EMAIL_PATTERN ← youtube_api_handler.py:854) so what the
+# reference surfaces is exactly what the pipeline can scrub; phone is a
+# conservative international shape (7+ digits with separators) — tuned for
+# precision over recall, the right default for destructive rewriting.
+PII_PHONE_PATTERN = r"\+?\d[\d\s().-]{5,}\d"
+
+
+def redact_pii(
+    text,
+    email_token: str = "[EMAIL]",
+    phone_token: str = "[PHONE]",
+):
+    """Scrub emails and phone-like digit runs from a text Column.
+
+    The redaction twin of P6's extractor: pipelines that *surface* contact
+    emails in analytics must also be able to *remove* them before text
+    becomes training data. Pure regexp_replace — map-only, codegen'd, no
+    UDF; order matters (emails first, or their digit runs half-match the
+    phone pattern).
+    """
+    from ..functions.text import EMAIL_PATTERN
+
+    cleaned = F.regexp_replace(text, EMAIL_PATTERN, email_token)
+    return F.regexp_replace(cleaned, PII_PHONE_PATTERN, phone_token)
+
+
 QUERIES = {
     "corpus_curation_funnel": corpus_curation_funnel,
     "doc_text_stats": doc_text_stats,
