@@ -110,3 +110,30 @@ def test_redact_pii(spark):
     assert got[1] == "no pii here, just 42 tokens"
     assert got[2] == "two mails [EMAIL] [EMAIL] and [PHONE]"
     assert got[3] is None
+
+
+def _formatted_plan(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_chunk_documents_is_shuffle_free(spark, sf_dir):
+    """Chunking is pure row expansion — any Exchange in the plan means the
+    map-only claim regressed."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _formatted_plan(chunk_documents(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_sequences_shuffles_once_on_group_key(spark, sf_dir):
+    """Packing needs exactly one shuffle (the per-group window); a second
+    Exchange would mean the window spec lost its partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    tree = _formatted_plan(pack_sequences(with_tokens)).split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
