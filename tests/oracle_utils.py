@@ -20,25 +20,32 @@ def value_hash(rows, columns):
 
 
 def _isna(v):
-    """Scalar NaN/NaT from a pandas fetch → None (Spark NULL equivalent)."""
+    """Scalar NaN/NaT from a pandas fetch → None (Spark NULL equivalent).
+    Sequence values (lists/tuples and the np.ndarray that duckdb ``.df()``
+    returns for LIST columns) are never NULL — ``pd.isna`` on them yields
+    an array, not a bool, so they must be excluded before the call."""
+    import numpy as np
     import pandas as pd
 
+    if v is None:
+        return True
+    if isinstance(v, (list, tuple, dict, np.ndarray)):
+        return False
     try:
-        return v is None or (
-            not isinstance(v, (list, tuple, dict)) and pd.isna(v)
-        )
+        return bool(pd.isna(v))
     except (TypeError, ValueError):
         return False
 
 
-def assert_oracle_match(sdf, duck, sql):
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = sdf.columns
+def fetch_duck(duck, sql):
+    """(columns, rows) from DuckDB via the Arrow/pandas path the driver's
+    gate uses: DuckDB HUGEINT (an un-cast SUM(BIGINT)) coerces to float64
+    here and hash-mismatches — fetchall would silently hide that class of
+    oracle bug. DATE columns are restored to date objects (pandas loads
+    them as datetime64) and NaN/NaT becomes None. Shared by the unit tests
+    and tools/compare_oracle.py so both replicas stay in lockstep."""
     res = duck.execute(sql)
     desc = res.description
-    # Fetch via Arrow/pandas like the driver's gate: DuckDB HUGEINT (an
-    # un-cast SUM(BIGINT)) coerces to float64 here and hash-mismatches —
-    # fetchall would silently hide that class of oracle bug.
     dpdf = res.df()
     dcols = list(dpdf.columns)
     date_cols = {d[0] for d in desc if str(d[1]).upper() == "DATE"}
@@ -48,6 +55,13 @@ def assert_oracle_match(sdf, duck, sql):
         tuple(None if _isna(v) else v for v in r)
         for r in dpdf.itertuples(index=False, name=None)
     ]
+    return dcols, drows
+
+
+def assert_oracle_match(sdf, duck, sql):
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    dcols, drows = fetch_duck(duck, sql)
     assert sorted(scols) == sorted(dcols), f"columns differ: {scols} vs {dcols}"
     assert len(srows) == len(drows), f"row count differs: {len(srows)} vs {len(drows)}"
     sh, dh = value_hash(srows, scols), value_hash(drows, dcols)

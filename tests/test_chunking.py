@@ -28,22 +28,22 @@ def test_chunk_documents_matches_oracle(spark, duck, sf_dir):
 
 
 def test_chunk_overlap_semantics(spark, sf_dir):
-    """Consecutive chunks of one long doc share exactly `overlap` tokens."""
+    """For every multi-chunk doc: consecutive chunks share exactly
+    `overlap` tokens, and no chunk is contained in its predecessor (each
+    one past the first contributes > overlap tokens — the duplicate-text
+    guard)."""
     docs = load_table(spark, sf_dir, "documents")
-    chunked = chunk_documents(docs, chunk_tokens=8, overlap=3)
-    row = (
-        chunked.filter(F.col("chunk_idx") == 0)
-        .join(
-            chunked.filter(F.col("chunk_idx") == 1).select(
-                "doc_id", F.col("chunk_text").alias("next_text")
-            ),
-            "doc_id",
-        )
-        .first()
-    )
-    assert row is not None, "corpus has no doc long enough for 2 chunks"
-    first, second = row.chunk_text.split(" "), row.next_text.split(" ")
-    assert first[-3:] == second[:3]
+    chunked = chunk_documents(docs, chunk_tokens=8, overlap=3).collect()
+    by_doc: dict = {}
+    for r in chunked:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    multi = {d: rs for d, rs in by_doc.items() if len(rs) > 1}
+    assert multi, "corpus has no doc long enough for 2 chunks"
+    for rs in multi.values():
+        rs.sort(key=lambda r: r.chunk_idx)
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur.n_tokens > 3, "chunk contained in its predecessor"
+            assert prev.chunk_text.split(" ")[-3:] == cur.chunk_text.split(" ")[:3]
 
 
 def test_split_by_hash_matches_oracle(spark, duck, sf_dir):
@@ -101,6 +101,12 @@ def test_redact_pii(spark):
             ("reach me at bob.smith+x@mail.example.com or +1 (415) 555-0199",),
             ("no pii here, just 42 tokens",),
             ("two mails a@b.co c@d.io and 0800 123 4567",),
+            ("call +44 7911 123456 today",),
+            # precision guards: dates, times, IPs, decimals, year ranges
+            # must survive destructive rewriting untouched
+            ("meeting on 2024-03-07 08:30:00",),
+            ("ip 192.168.0.1 and pi 3.14159265",),
+            ("orders span 1992-2003",),
             (None,),
         ],
         "text string",
@@ -109,7 +115,11 @@ def test_redact_pii(spark):
     assert got[0] == "reach me at [EMAIL] or [PHONE]"
     assert got[1] == "no pii here, just 42 tokens"
     assert got[2] == "two mails [EMAIL] [EMAIL] and [PHONE]"
-    assert got[3] is None
+    assert got[3] == "call [PHONE] today"
+    assert got[4] == "meeting on 2024-03-07 08:30:00"
+    assert got[5] == "ip 192.168.0.1 and pi 3.14159265"
+    assert got[6] == "orders span 1992-2003"
+    assert got[7] is None
 
 
 def _formatted_plan(df):

@@ -61,7 +61,13 @@ def test_kmeans_matches_numpy(spark, sf_dir):
     }
     want_assign, want_C = _numpy_lloyd(ids, X, K, N_ITER)
     want = dict(zip(ids.tolist(), want_assign.tolist()))
-    mismatched = {i for i in want if got[i] != want[i]}
+    # Spark folds distances sequentially, NumPy sums pairwise — for a point
+    # nearly equidistant to two centroids the argmin can legitimately flip
+    # on last-ulp rounding. Compare exactly only where the best/second-best
+    # margin is clearly above float noise.
+    d2 = ((X[:, None, :] - want_C[None, :, :]) ** 2).sum(axis=2)
+    margins = dict(zip(ids.tolist(), (np.partition(d2, 1, axis=1)[:, 1] - d2.min(axis=1)).tolist()))
+    mismatched = {i for i in want if got[i] != want[i] and margins[i] > 1e-9}
     assert not mismatched, f"{len(mismatched)} assignments differ: {sorted(mismatched)[:5]}"
 
     C = np.array(kmeans_centroids(emb, k=K, n_iter=N_ITER))

@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 import __spark_entry__ as entrymod
+from tests.oracle_utils import fetch_duck
 from youtube_api_batch_process_with_analytics_spark.session import get_spark
 from youtube_api_batch_process_with_analytics_spark.sources import TABLES
 
@@ -42,16 +43,6 @@ def _fmt(v):
     return str(v)
 
 
-def _isna(v):
-    """Scalar NaN/NaT from a pandas fetch → None (matches Spark's NULL)."""
-    try:
-        import pandas as pd
-
-        return v is None or (not isinstance(v, (list, tuple, dict)) and pd.isna(v))
-    except (TypeError, ValueError):
-        return False
-
-
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -73,23 +64,10 @@ def main():
         if name not in oracles:
             print(f"{name}: spark_rows={len(srows)} (no oracle — rows-only)")
             continue
-        # Fetch through Arrow/pandas like the driver's gate does — this is
-        # what surfaces DuckDB HUGEINT→float64 coercion (an un-cast
-        # SUM(BIGINT) formats as "123.0" here and hash-mismatches), which a
-        # plain fetchall (Python int) silently hides.
-        cur = con.execute(oracles[name])
-        desc = cur.description
-        dpdf = cur.df()
-        dcols = list(dpdf.columns)
-        # DuckDB DATE comes back as pandas datetime64; restore date objects
-        # so they format like Spark's datetime.date ("2023-01-01").
-        date_cols = {d[0] for d in desc if str(d[1]).upper() == "DATE"}
-        for c in date_cols & set(dcols):
-            dpdf[c] = dpdf[c].dt.date
-        drows = [
-            tuple(None if _isna(v) else v for v in r)
-            for r in dpdf.itertuples(index=False, name=None)
-        ]
+        # Arrow/pandas fetch shared with the unit tests (surfaces the
+        # DuckDB HUGEINT→float64 coercion the driver's gate sees, restores
+        # DATE columns, nulls NaN/NaT) — one implementation, two replicas.
+        dcols, drows = fetch_duck(con, oracles[name])
         sh = value_hash([tuple(r) for r in srows], scols)
         dh = value_hash(drows, dcols)
         ok = len(srows) == len(drows) and sorted(scols) == sorted(dcols) and sh == dh

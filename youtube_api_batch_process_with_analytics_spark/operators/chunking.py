@@ -46,8 +46,12 @@ def chunk_documents(
     ``overlap`` tokens carried between consecutive chunks.
 
     Output: doc_id, chunk_idx (0-based), chunk_text, n_tokens. Chunks
-    start every ``chunk_tokens - overlap`` tokens; the final short chunk is
-    kept (training pipelines pad it) unless it would start past the end.
+    start every ``chunk_tokens - overlap`` tokens. A final short chunk is
+    kept (training pipelines pad it) only when it contributes tokens
+    beyond the carried overlap — a trailing chunk of ≤ ``overlap`` tokens
+    is wholly contained in its predecessor and emitting it would inject
+    exact-duplicate text into the corpus the dedup operators exist to
+    clean, so starts stop at ``n - overlap - 1``.
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
@@ -55,9 +59,12 @@ def chunk_documents(
     toks = docs.select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
     ).withColumn("n", F.size("toks"))
-    # Start offsets 0, stride, 2*stride, ... while start < n.
+    # Start offsets 0, stride, 2*stride, ... while start <= n - overlap - 1
+    # (every chunk past the first must add > overlap-carried tokens).
     starts = F.sequence(
-        F.lit(0), F.col("n") - 1, F.lit(stride)
+        F.lit(0),
+        F.greatest(F.lit(0), F.col("n") - F.lit(overlap + 1)),
+        F.lit(stride),
     )
     chunks = toks.select(
         "doc_id",
@@ -87,8 +94,11 @@ WITH toks_t AS (
 ),
 starts AS (
   SELECT doc_id, toks,
-         generate_subscripts(range(0, len(toks), {stride}), 1) - 1 AS chunk_idx,
-         unnest(range(0, len(toks), {stride})) AS start
+         generate_subscripts(
+           range(0, greatest(1, len(toks) - {overlap}), {stride}), 1
+         ) - 1 AS chunk_idx,
+         unnest(range(0, greatest(1, len(toks) - {overlap}), {stride}))
+           AS start
   FROM toks_t
 )
 SELECT doc_id,

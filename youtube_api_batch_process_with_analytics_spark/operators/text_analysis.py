@@ -321,10 +321,17 @@ FROM flagged GROUP BY source ORDER BY source
 
 # PII patterns for redaction. Email reuses the extractor's pattern
 # (functions/text.py EMAIL_PATTERN ← youtube_api_handler.py:854) so what the
-# reference surfaces is exactly what the pipeline can scrub; phone is a
-# conservative international shape (7+ digits with separators) — tuned for
-# precision over recall, the right default for destructive rewriting.
-PII_PHONE_PATTERN = r"\+?\d[\d\s().-]{5,}\d"
+# reference surfaces is exactly what the pipeline can scrub. Phone is tuned
+# for precision over recall — destructive rewriting must not eat dates,
+# IPs, decimals, or year ranges, so a match needs phone-shaped structure:
+# a +country or (area) prefix, or ≥3 digit groups of 3-4 joined by space/
+# dash. Two-group shapes without a prefix ('1992-2003') and short-group
+# shapes ('2024-03-07', '192.168.0.1' — '.' is not a separator here) stay.
+PII_PHONE_PATTERN = (
+    r"(?:\+\d{1,3}[ -]?)?\(\d{1,4}\)[ -]?\d{3,4}[ -]?\d{3,6}"
+    r"|\+\d{1,3}[ -]?\d{3,4}[ -]?\d{3,6}(?:[ -]\d{3,4})?"
+    r"|\d{3,4}[ -]\d{3,4}[ -]\d{3,6}"
+)
 
 
 def redact_pii(

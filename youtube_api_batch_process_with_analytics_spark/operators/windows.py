@@ -260,6 +260,51 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# F2 admission quotas, scaled to fixture volume (DAILY_QUOTA config.py:15,
+# HOURLY_QUOTA config.py:16). Shared by both ST4 rotation policies.
+DAILY_CAP = 40
+HOURLY_CAP = 4
+
+
+def _admitted_pool(events: DataFrame) -> DataFrame:
+    """F2 admission (youtube_api_handler.py:63-68) as a per-(key, day)
+    table: daily count + peak hourly count, filtered to keys under both
+    quotas. One wide shuffle on (key, day, hour) feeds both aggregates
+    (the hourly max re-aggregates the finer grain). Shared by the
+    ``least_used`` and ``round_robin`` rotation policies."""
+    hourly = events.groupBy(
+        F.col("user_id").alias("key_id"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(F.count("*").alias("hour_cnt"))
+    per_day = hourly.groupBy("key_id", "day").agg(
+        F.sum("hour_cnt").alias("daily_cnt"),
+        F.max("hour_cnt").alias("peak_hour_cnt"),
+    )
+    return per_day.filter(
+        (F.col("daily_cnt") < DAILY_CAP) & (F.col("peak_hour_cnt") < HOURLY_CAP)
+    )
+
+
+_ADMISSION_SQL = f"""hourly AS (
+  SELECT user_id AS key_id,
+         date_trunc('day', ts) AS day,
+         date_trunc('hour', ts) AS hour,
+         COUNT(*) AS hour_cnt
+  FROM events GROUP BY 1, 2, 3
+),
+per_day AS (
+  SELECT key_id, day,
+         SUM(hour_cnt) AS daily_cnt,
+         MAX(hour_cnt) AS peak_hour_cnt
+  FROM hourly GROUP BY key_id, day
+),
+admitted AS (
+  SELECT * FROM per_day
+  WHERE daily_cnt < {DAILY_CAP} AND peak_hour_cnt < {HOURLY_CAP}
+)"""
+
+
 def key_rotation_least_used(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST4 key-rotation scheduling, ``least_used`` policy
     (youtube_api_handler.py:222-275).
@@ -280,21 +325,7 @@ def key_rotation_least_used(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a per-day ranking window. No driver-side loop; the per-request
     sequential selection collapses into one declarative argmin per window.
     """
-    daily_cap = 40  # DAILY_QUOTA scaled to fixture volume (config.py:15)
-    hourly_cap = 4  # HOURLY_QUOTA scaled (config.py:16)
-    events = load_table(spark, sf_dir, "events")
-    hourly = events.groupBy(
-        F.col("user_id").alias("key_id"),
-        F.date_trunc("day", F.col("ts")).alias("day"),
-        F.date_trunc("hour", F.col("ts")).alias("hour"),
-    ).agg(F.count("*").alias("hour_cnt"))
-    per_day = hourly.groupBy("key_id", "day").agg(
-        F.sum("hour_cnt").alias("daily_cnt"),
-        F.max("hour_cnt").alias("peak_hour_cnt"),
-    )
-    admitted = per_day.filter(
-        (F.col("daily_cnt") < daily_cap) & (F.col("peak_hour_cnt") < hourly_cap)
-    )
+    admitted = _admitted_pool(load_table(spark, sf_dir, "events"))
     w = W.partitionBy("day").orderBy(F.col("daily_cnt").asc(), F.col("key_id").asc())
     n_w = W.partitionBy("day")
     return (
@@ -311,23 +342,8 @@ def key_rotation_least_used(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_KEY_ROTATION_LEAST_USED = """
-WITH hourly AS (
-  SELECT user_id AS key_id,
-         date_trunc('day', ts) AS day,
-         date_trunc('hour', ts) AS hour,
-         COUNT(*) AS hour_cnt
-  FROM events GROUP BY 1, 2, 3
-),
-per_day AS (
-  SELECT key_id, day,
-         SUM(hour_cnt) AS daily_cnt,
-         MAX(hour_cnt) AS peak_hour_cnt
-  FROM hourly GROUP BY key_id, day
-),
-admitted AS (
-  SELECT * FROM per_day WHERE daily_cnt < 40 AND peak_hour_cnt < 4
-),
+ORACLE_KEY_ROTATION_LEAST_USED = f"""
+WITH {_ADMISSION_SQL},
 ranked AS (
   SELECT *,
          row_number() OVER (
@@ -364,21 +380,8 @@ def key_rotation_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
     final assignment is an equi-join on (day, slot) — no request×key
     expansion — followed by a partial-aggregable rollup.
     """
-    daily_cap = 40  # same scaled quotas as key_rotation_least_used
-    hourly_cap = 4
     events = load_table(spark, sf_dir, "events")
-    hourly = events.groupBy(
-        F.col("user_id").alias("key_id"),
-        F.date_trunc("day", F.col("ts")).alias("day"),
-        F.date_trunc("hour", F.col("ts")).alias("hour"),
-    ).agg(F.count("*").alias("hour_cnt"))
-    per_day = hourly.groupBy("key_id", "day").agg(
-        F.sum("hour_cnt").alias("daily_cnt"),
-        F.max("hour_cnt").alias("peak_hour_cnt"),
-    )
-    admitted = per_day.filter(
-        (F.col("daily_cnt") < daily_cap) & (F.col("peak_hour_cnt") < hourly_cap)
-    )
+    admitted = _admitted_pool(events)
     slot_w = W.partitionBy("day").orderBy(F.col("key_id").asc())
     slots = admitted.select(
         "day", "key_id", (F.row_number().over(slot_w) - 1).alias("slot")
@@ -403,24 +406,12 @@ def key_rotation_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_KEY_ROTATION_ROUND_ROBIN = """
-WITH hourly AS (
-  SELECT user_id AS key_id,
-         date_trunc('day', ts) AS day,
-         date_trunc('hour', ts) AS hour,
-         COUNT(*) AS hour_cnt
-  FROM events GROUP BY 1, 2, 3
-),
-per_day AS (
-  SELECT key_id, day,
-         SUM(hour_cnt) AS daily_cnt,
-         MAX(hour_cnt) AS peak_hour_cnt
-  FROM hourly GROUP BY key_id, day
-),
+ORACLE_KEY_ROTATION_ROUND_ROBIN = f"""
+WITH {_ADMISSION_SQL},
 slots AS (
   SELECT key_id, day,
          row_number() OVER (PARTITION BY day ORDER BY key_id ASC) - 1 AS slot
-  FROM per_day WHERE daily_cnt < 40 AND peak_hour_cnt < 4
+  FROM admitted
 ),
 pool AS (
   SELECT day, COUNT(*) AS n_keys FROM slots GROUP BY day
