@@ -76,3 +76,24 @@ def test_partition_pruning_skips_days(spark, sf_dir, tmp_path):
     # pruned read returns exactly that day's rows
     expected = events.filter(F.col("day") == "2024-01-03").count()
     assert one_day.count() == expected
+
+
+def test_cc_survivorship_has_no_static_broadcast_hint(spark, sf_dir):
+    """The per-component `sizes` frame in connected-components survivorship
+    is one row per near-dup cluster — unbounded at corpus scale. A static
+    broadcast() hint there OOMs a 100-TB run regardless of runtime size, so
+    the analyzed plan must carry NO broadcast hint anywhere; AQE may still
+    choose a runtime broadcast when the frame proves small (that path is
+    size-bounded and safe)."""
+    from youtube_api_batch_process_with_analytics_spark.operators.dedup import (
+        dedup_connected_components,
+        release_cc_caches,
+    )
+
+    out = dedup_connected_components(spark, sf_dir)
+    try:
+        analyzed = out._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, analyzed
+        assert out.count() > 0
+    finally:
+        release_cc_caches()

@@ -536,9 +536,24 @@ ORDER BY vec_id_a, vec_id_b
 # Min-label propagation converges in ≤ graph-diameter rounds; near-dup
 # clusters are shallow, so 50 is a generous safety bound, not a tuning knob.
 CC_MAX_ITERATIONS = 50
+# Every this-many propagation rounds the iterate is localCheckpoint'ed so
+# the plan a long chain builds stays bounded (persist truncates execution
+# but not lineage; an adversarial path graph would otherwise stack 50
+# joins of analysis work before the iteration cap trips).
+CC_CHECKPOINT_INTERVAL = 10
 # Final per-invocation `comp` caches that the returned plan still references;
-# drained at the start of the next invocation (see below).
+# drained at the start of the next invocation or via release_cc_caches().
 _CC_LIVE_CACHES: list[DataFrame] = []
+_CC_CACHE_LOCK = __import__("threading").Lock()
+
+
+def release_cc_caches() -> None:
+    """Unpersist the final ``comp`` cache held for the most recent
+    ``dedup_connected_components`` result. Call once the returned DataFrame
+    has been consumed; also runs automatically at the next invocation."""
+    with _CC_CACHE_LOCK:
+        while _CC_LIVE_CACHES:
+            _CC_LIVE_CACHES.pop().unpersist()
 
 
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -568,8 +583,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Drain caches leaked by a previous invocation's returned plan (the final
     # ``comp`` must stay persisted until the caller consumes the result, so
     # release it here instead) — keeps storage flat across repeated calls.
-    while _CC_LIVE_CACHES:
-        _CC_LIVE_CACHES.pop().unpersist()
+    release_cc_caches()
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
     edges = (
         pairs.selectExpr("doc_id_a AS src", "doc_id_b AS dst")
@@ -598,21 +612,23 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # second comp-vs-new_comp join just to detect convergence.
         # `cached` is the persisted handle (comp is a projection over it,
         # so unpersist must target `cached`, not comp).
-        stepped = (
-            comp.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("component_id")),
-                ).alias("component_id"),
-                (
-                    F.coalesce(F.col("nbr_min"), F.col("component_id"))
-                    < F.col("component_id")
-                ).alias("moved"),
-            )
-            .persist()
+        stepped = comp.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("component_id"),
+                F.coalesce(F.col("nbr_min"), F.col("component_id")),
+            ).alias("component_id"),
+            (
+                F.coalesce(F.col("nbr_min"), F.col("component_id"))
+                < F.col("component_id")
+            ).alias("moved"),
         )
+        # localCheckpoint (implicitly persisted) every K rounds truncates
+        # the stacked-join lineage; plain persist in between.
+        if (_round + 1) % CC_CHECKPOINT_INTERVAL == 0:
+            stepped = stepped.localCheckpoint(eager=False)
+        else:
+            stepped = stepped.persist()
         changed = stepped.filter(F.col("moved")).limit(1).count()
         cached.unpersist()
         cached = stepped
@@ -628,9 +644,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The `changed` count materialized the final comp, so edges' cache is no
     # longer needed to serve the returned plan.
     edges.unpersist()
-    _CC_LIVE_CACHES.append(cached)
+    with _CC_CACHE_LOCK:
+        _CC_LIVE_CACHES.append(cached)
     sizes = comp.groupBy("component_id").agg(F.count("*").alias("cluster_size"))
-    clustered = comp.join(F.broadcast(sizes), "component_id").select(
+    # No broadcast hint: `sizes` is one row per near-dup component —
+    # unbounded at corpus scale (a hint here OOMs a 100-TB run). AQE is
+    # free to pick a broadcast at runtime when the frame is actually small;
+    # tests/test_scale_plans.py pins the absence of the static hint.
+    clustered = comp.join(sizes, "component_id").select(
         "doc_id",
         "component_id",
         "cluster_size",
