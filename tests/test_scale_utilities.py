@@ -6,7 +6,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from youtube_api_batch_process_with_analytics_spark.operators.sketches import approx_usage_sketch
+from youtube_api_batch_process_with_analytics_spark.operators.sketches import (
+    approx_usage_sketch,
+    usage_sketch_raw,
+)
 from youtube_api_batch_process_with_analytics_spark.operators.skew import (
     salted_agg_count_sum,
     salted_join,
@@ -14,8 +17,17 @@ from youtube_api_batch_process_with_analytics_spark.operators.skew import (
 from youtube_api_batch_process_with_analytics_spark.sources import load_table
 
 
+def test_approx_sketch_attestation_booleans(spark, sf_dir):
+    """The gated within-bound query must attest TRUE for every key (its
+    oracle emits constant TRUE, so a False here is a red gate row)."""
+    rows = approx_usage_sketch(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.hll_within_bound and r.p50_within_bound, r
+
+
 def test_approx_sketch_error_bounds(spark, sf_dir):
-    got = {r.event_type: r for r in approx_usage_sketch(spark, sf_dir).collect()}
+    got = {r.event_type: r for r in usage_sketch_raw(spark, sf_dir).collect()}
     exact = {
         r.event_type: r
         for r in load_table(spark, sf_dir, "events")

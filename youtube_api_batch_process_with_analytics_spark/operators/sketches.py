@@ -6,10 +6,14 @@ shuffle of every key occurrence, while HyperLogLog++ merges fixed-size
 sketches map-side — constant shuffle bytes per partition. Same trade for
 exact percentiles vs t-digest-style ``percentile_approx``.
 
-These are registered as rows-only gate entries (approximation is
-inherently not hash-matchable against an exact SQL oracle); the unit
-tests instead bound the error vs the exact answer, which is the correct
-contract for a sketch.
+Sketch outputs are inherently not hash-matchable against an exact SQL
+oracle, so the gated query verifies the sketch's *contract* instead: per
+key it computes both the approximate and the exact answer in Spark and
+emits deterministic within-bound booleans alongside the exact values; the
+DuckDB oracle recomputes the exact side and asserts the bounds as
+constants. A sketch whose error escapes its published bound turns the row
+red. Raw sketch values stay covered by the error-bound unit tests
+(tests/test_functions.py).
 """
 
 from __future__ import annotations
@@ -20,11 +24,71 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 
 HLL_RSD = 0.02  # ~2% relative standard deviation
+# Acceptance bound for the gate: 5σ. HLL++'s estimate is deterministic for
+# fixed data, but the testdata is re-sampled between rounds, so the bound
+# must hold for any draw — P(|err| > 5σ) ≈ 3e-7 per key.
+HLL_BOUND = 5 * HLL_RSD
+PCT_ACCURACY = 10_000  # percentile_approx rank error ≤ n/accuracy
 
 
 def approx_usage_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per event_type: HLL++ distinct users and approximate value
-    percentiles — the sketch twins of ``distinct_usage_stats``."""
+    """Per event_type: exact distinct users + deterministic attestations
+    that the HLL++ distinct-count and the approximate median respect their
+    error bounds.
+
+    ``hll_within_bound``: |approx − exact| / exact ≤ 5·rsd.
+    ``p50_within_bound``: the rank of the approximate median among the
+    group's values sits within the published rank-error guarantee
+    (±1/accuracy, plus one-row discreteness slack) of 0.5 — checked via
+    tie-aware ≤ / < counts, so value plateaus cannot fake a failure.
+    """
+    events = load_table(spark, sf_dir, "events")
+    g = events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("exact_distinct_users"),
+        F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("_approx_users"),
+        F.percentile_approx("value", 0.5, PCT_ACCURACY).alias("_p50_approx"),
+    )
+    # Rank check needs one more pass over the values with the group's
+    # approximate median attached. The join key is the event-type enum — a
+    # bounded domain, so the broadcast is safe at any corpus size.
+    j = events.select("event_type", "value").join(
+        F.broadcast(g.select("event_type", "_p50_approx")), "event_type"
+    )
+    ranks = j.groupBy("event_type").agg(
+        (
+            F.sum((F.col("value") <= F.col("_p50_approx")).cast("long"))
+            / F.count("*")
+        ).alias("_rank_le"),
+        (
+            F.sum((F.col("value") < F.col("_p50_approx")).cast("long"))
+            / F.count("*")
+        ).alias("_rank_lt"),
+    )
+    eps = F.lit(2.0 / PCT_ACCURACY) + 1.0 / F.col("n_events")
+    return (
+        g.join(ranks, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "exact_distinct_users",
+            (
+                F.abs(F.col("_approx_users") - F.col("exact_distinct_users"))
+                / F.col("exact_distinct_users")
+                <= HLL_BOUND
+            ).alias("hll_within_bound"),
+            (
+                (F.col("_rank_le") >= 0.5 - eps)
+                & (F.col("_rank_lt") <= 0.5 + eps)
+            ).alias("p50_within_bound"),
+        )
+    )
+
+
+def usage_sketch_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw sketch values (HLL++ distinct, approximate p50/p95/p99) —
+    consumed by the error-bound unit tests; the gated query above is the
+    within-bound attestation of the same sketches."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy("event_type")
@@ -32,7 +96,7 @@ def approx_usage_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id", rsd=HLL_RSD).alias(
                 "approx_distinct_users"
             ),
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias(
+            F.percentile_approx("value", [0.5, 0.95, 0.99], PCT_ACCURACY).alias(
                 "value_pcts"
             ),
             F.count("*").alias("n_events"),
@@ -48,5 +112,17 @@ def approx_usage_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ORACLE_APPROX_USAGE_SKETCH = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS exact_distinct_users,
+       TRUE AS hll_within_bound,
+       TRUE AS p50_within_bound
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {"approx_usage_sketch": approx_usage_sketch}
-ORACLES: dict[str, str] = {}  # rows-only by design: sketches are not hash-matchable
+ORACLES = {"approx_usage_sketch": ORACLE_APPROX_USAGE_SKETCH}
