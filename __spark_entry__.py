@@ -18,6 +18,8 @@ from youtube_api_batch_process_with_analytics_spark.sources import rss_xml as _r
 from youtube_api_batch_process_with_analytics_spark.plans import sql_api as _sql_api
 from youtube_api_batch_process_with_analytics_spark.streaming import state as _stream_state
 from youtube_api_batch_process_with_analytics_spark.operators import (
+    chunking as _chunking,
+    clustering as _clustering,
     dedup as _dedup,
     grouping as _grouping,
     joins as _joins,
@@ -37,6 +39,7 @@ _MODULES = [
     _windows,
     _text,
     _dedup,
+    _chunking,
     _similarity,
     _media,
     _scalar,

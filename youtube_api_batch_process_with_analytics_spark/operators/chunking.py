@@ -6,8 +6,8 @@ into model-sized chunks, assign deterministic train/validation splits, and
 pack variable-length pieces into fixed token budgets. All three are
 map-only or single-window constructs — no driver loops, no UDFs — and each
 is differentially tested against a DuckDB twin (tests/test_chunking.py)
-with the same rigor as the gated queries (they stay out of ``queries()``
-only because the round driver checks a fixed-size head of that dict).
+AND gated: the QUERIES/ORACLES entries below feed the driver's
+correctness gate directly.
 
 Scale shapes:
 
@@ -28,8 +28,10 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from ..sources import load_table
 
 CHUNK_TOKENS = 64
 CHUNK_OVERLAP = 16
@@ -56,8 +58,11 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
+    # NULL text coalesces to '' (one empty chunk) so the operator can't
+    # emit size(NULL) = -1 token counts with ANSI mode off — and so the
+    # DuckDB twin, where NULL propagates differently, stays bit-identical.
     toks = docs.select(
-        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+        "doc_id", F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+").alias("toks")
     ).withColumn("n", F.size("toks"))
     # Start offsets 0, stride, 2*stride, ... while start <= n - overlap - 1
     # (every chunk past the first must add > overlap-carried tokens).
@@ -89,7 +94,7 @@ def oracle_chunk_documents(
     stride = chunk_tokens - overlap
     return f"""
 WITH toks_t AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks
   FROM documents
 ),
 starts AS (
@@ -186,8 +191,8 @@ def oracle_pack_sequences(budget: int = PACK_BUDGET) -> str:
     return f"""
 WITH t AS (
   SELECT doc_id, source,
-         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
-           AS n_tokens
+         CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+              AS BIGINT) AS n_tokens
   FROM documents
 ),
 c AS (
@@ -203,3 +208,46 @@ SELECT doc_id, source, n_tokens,
        CAST(start % {budget} AS BIGINT) AS bin_offset
 FROM c ORDER BY doc_id
 """
+
+
+# --- gated query wrappers -------------------------------------------------
+# (spark, sf_dir) -> DataFrame closures over the documents table, feeding
+# the driver's correctness gate with the module defaults.
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(_docs(spark, sf_dir))
+
+
+def split_by_hash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_by_hash(_docs(spark, sf_dir).select("doc_id")).select(
+        "doc_id", "split_bucket", "split"
+    )
+
+
+def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with_tokens = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return pack_sequences(with_tokens)
+
+
+QUERIES = {
+    "chunk_documents": chunk_documents_query,
+    "split_by_hash": split_by_hash_query,
+    "pack_sequences": pack_sequences_query,
+}
+
+ORACLES = {
+    "chunk_documents": oracle_chunk_documents(),
+    "split_by_hash": oracle_split_by_hash(),
+    "pack_sequences": oracle_pack_sequences(),
+}

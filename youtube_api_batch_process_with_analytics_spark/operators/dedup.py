@@ -738,6 +738,45 @@ def _posting_list(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def benchmark_contamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated decontamination run: the eval set is the deterministic
+    doc_id % 100 == 0 slice of the corpus standing in for a benchmark —
+    every flagged (doc_id, bench_id) pair is a training doc that would leak
+    eval content."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return benchmark_contamination(docs, bench)
+
+
+ORACLE_BENCHMARK_CONTAMINATION = """
+WITH dt AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+ds AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE [list_aggregate(toks, 'string_agg', ' ')] END) AS shingles
+  FROM dt
+),
+d AS (SELECT doc_id, unnest(shingles) AS shingle FROM ds),
+b AS (
+  SELECT doc_id AS bench_id, shingle
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM ds)
+  WHERE doc_id % 100 = 0
+)
+SELECT d.doc_id, b.bench_id, COUNT(*) AS shared_shingles
+FROM d JOIN b USING (shingle)
+GROUP BY d.doc_id, b.bench_id
+HAVING COUNT(*) >= 3
+ORDER BY doc_id, bench_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -745,6 +784,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_connected_components": dedup_connected_components,
+    "benchmark_contamination": benchmark_contamination_query,
 }
 
 ORACLES = {
@@ -754,4 +794,5 @@ ORACLES = {
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "dedup_connected_components": ORACLE_DEDUP_CONNECTED_COMPONENTS,
+    "benchmark_contamination": ORACLE_BENCHMARK_CONTAMINATION,
 }

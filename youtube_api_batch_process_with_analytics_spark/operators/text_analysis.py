@@ -353,11 +353,51 @@ def redact_pii(
     return F.regexp_replace(cleaned, PII_PHONE_PATTERN, phone_token)
 
 
+def redact_pii_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated redaction run over ``documents``.
+
+    The fixture corpus carries no organic PII, so a bare pass would attest
+    a no-op; instead each document gets a deterministic doc_id-derived
+    contact line appended (an email and a phone) before scrubbing — the
+    gate then verifies the scrubber actually fires on every row AND leaves
+    the real corpus text byte-identical. Same construction in the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select(
+        "doc_id", redact_pii(seeded).alias("redacted_text")
+    )
+
+
+def _oracle_redact_pii() -> str:
+    from ..functions.text import EMAIL_PATTERN
+
+    return f"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@mail.example.com or 415-555-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+           '{EMAIL_PATTERN}', '[EMAIL]', 'g'),
+         '{PII_PHONE_PATTERN}', '[PHONE]', 'g') AS redacted_text
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "corpus_curation_funnel": corpus_curation_funnel,
     "doc_text_stats": doc_text_stats,
     "language_id": language_id,
     "doc_fingerprint": doc_fingerprint,
+    "redact_pii": redact_pii_query,
 }
 
 ORACLES = {
@@ -365,4 +405,5 @@ ORACLES = {
     "doc_text_stats": ORACLE_DOC_TEXT_STATS,
     "language_id": ORACLE_LANGUAGE_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "redact_pii": _oracle_redact_pii(),
 }
