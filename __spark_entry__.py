@@ -40,6 +40,7 @@ _MODULES = [
     _text,
     _dedup,
     _chunking,
+    _clustering,
     _similarity,
     _media,
     _scalar,

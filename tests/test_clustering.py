@@ -133,3 +133,41 @@ def test_kmeans_empty_cluster_reseeds(spark):
     assert out.count() == 6
     cents = kmeans_centroids(df, k=5, n_iter=2)
     assert len(cents) == 5
+
+
+def test_kmeans_cells_gate_matches_oracle(spark, duck, sf_dir):
+    """The integer-exact gated twin must be bit-identical to its DuckDB
+    oracle — the whole point of the quantized formulation."""
+    from tests.oracle_utils import assert_oracle_match
+    from youtube_api_batch_process_with_analytics_spark.operators.clustering import (
+        kmeans_cells_query,
+        oracle_kmeans_cells,
+    )
+
+    assert_oracle_match(kmeans_cells_query(spark, sf_dir), duck, oracle_kmeans_cells())
+
+
+def test_ann_ivf_kmeans_gate_matches_oracle(spark, duck, sf_dir):
+    from tests.oracle_utils import assert_oracle_match
+    from youtube_api_batch_process_with_analytics_spark.operators.clustering import (
+        ann_ivf_kmeans,
+        oracle_ann_ivf_kmeans,
+    )
+
+    assert_oracle_match(ann_ivf_kmeans(spark, sf_dir), duck, oracle_ann_ivf_kmeans())
+
+
+def test_gate_kmeans_assignment_is_map_only(spark, sf_dir):
+    """Final gated assignment must be a literal-centroid expression: the
+    only Exchange allowed is spread()'s deliberate round-robin fan-out of
+    the single-file fixture scan — no hash shuffle from the compute."""
+    from youtube_api_batch_process_with_analytics_spark.operators.clustering import (
+        kmeans_cells_query,
+    )
+
+    df = kmeans_cells_query(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("Exchange") == 1 and "RoundRobinPartitioning" in plan, plan
+    assert "hashpartitioning" not in plan, plan

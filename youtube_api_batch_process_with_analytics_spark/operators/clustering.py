@@ -26,8 +26,10 @@ operators/similarity.py's IVF probe/search plumbing).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from ..sources import load_table, spread
 
 
 def _sq_dist(vec_col: str, centroid_lit) -> F.Column:
@@ -117,3 +119,326 @@ def _collect_centroids(cent_df: DataFrame, k: int) -> list[list[float]]:
         raise ValueError("no vectors to cluster")
     fallback = rows[min(rows)]
     return [rows.get(c, fallback) for c in range(k)]
+
+
+# --- integer-exact gate variant ------------------------------------------
+#
+# The driver's correctness gate hashes values bit-for-bit against a DuckDB
+# oracle, and double-precision Lloyd iterations cannot promise that: the
+# two engines round double→DECIMAL means differently, and a single-ulp
+# disagreement can flip a near-tied argmin. The gated twin below removes
+# floats from the decision path entirely:
+#
+# - components quantize to BIGINT once: round(x * 1000). For float32
+#   inputs the scaled value can never land exactly on a .5 boundary
+#   ((2k+1)/2000 has a factor-125 denominator, never dyadic), so both
+#   engines round identically.
+# - a centroid is the exact rational (sum-vector, count) — never divided.
+#   The squared L2 distance to it, scaled by n², is the exact BIGINT
+#   Σ (n·x_i − s_i)²; the argmin compares dist/n² after one deterministic
+#   BIGINT→DOUBLE cast and one IEEE division, identical on both engines.
+# - clusters that lose every member simply stop competing (standard Lloyd
+#   never re-populates them); both sides mirror that.
+#
+# Quantization at 1e-3 granularity is itself a production technique
+# (scalar-quantized IVF); the double-precision kmeans_lloyd above stays
+# the general-purpose operator, differentially tested vs NumPy.
+
+KMEANS_GATE_K = 8
+KMEANS_GATE_ITERS = 3
+QUANT_SCALE = 1000
+IVF_KM_TOP_K = 5
+IVF_KM_N_PROBE = 2
+IVF_KM_QUERY_STRIDE = 50
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * QUANT_SCALE).cast("long"),
+        ).alias("qvec"),
+    )
+
+
+def _int_centroids(assigned: DataFrame) -> dict[int, tuple[list[int], int]]:
+    """Collect exact rational centroids {cluster: (sum_vector, n)} — k×d
+    BIGINTs on the driver, the same bounded contract as kmeans_centroids."""
+    flat = (
+        assigned.select("cluster", F.posexplode("qvec").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    by_cluster: dict[int, dict[int, int]] = {}
+    counts: dict[int, int] = {}
+    for r in flat:
+        by_cluster.setdefault(r.cluster, {})[r.pos] = r.s
+        counts[r.cluster] = r.n
+    return {
+        c: ([dims[p] for p in sorted(dims)], counts[c])
+        for c, dims in by_cluster.items()
+    }
+
+
+def _int_assign_expr(cents: dict[int, tuple[list[int], int]]):
+    """argmin_c  Σ(n_c·x − s_c)² / n_c²  as a map-only Column over qvec."""
+    structs = []
+    for c in sorted(cents):
+        svec, n = cents[c]
+        lit_s = F.array(*[F.lit(int(v)) for v in svec])
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("qvec"),
+                lit_s,
+                lambda x, s: (F.lit(int(n)) * x - s) * (F.lit(int(n)) * x - s),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        )
+        structs.append(
+            F.struct(
+                (dist.cast("double") / F.lit(int(n) * int(n)).cast("double")).alias(
+                    "d"
+                ),
+                F.lit(int(c)).alias("cluster"),
+            )
+        )
+    return F.array_min(F.array(*structs))["cluster"]
+
+
+def _gate_kmeans(
+    spark: SparkSession, sf_dir: str, k: int = KMEANS_GATE_K,
+    n_iter: int = KMEANS_GATE_ITERS,
+) -> tuple[DataFrame, dict[int, tuple[list[int], int]]]:
+    """Run the integer-exact Lloyd rounds; return (embeddings frame with a
+    final map-only ``cluster`` column, final-assignment centroids)."""
+    emb = _quantized(spark, sf_dir)
+    assigned = emb.withColumn("cluster", (F.col("vec_id") % k).cast("int"))
+    for _ in range(n_iter):
+        cents = _int_centroids(assigned)
+        assigned = emb.withColumn("cluster", _int_assign_expr(cents))
+    return assigned, _int_centroids(assigned)
+
+
+def kmeans_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated k-means: final (vec_id, cluster) after KMEANS_GATE_ITERS
+    integer-exact Lloyd rounds from the deterministic vec_id % k seed."""
+    assigned, _ = _gate_kmeans(spark, sf_dir)
+    return assigned.select("vec_id", "cluster")
+
+
+def oracle_kmeans_cells(
+    k: int = KMEANS_GATE_K,
+    n_iter: int = KMEANS_GATE_ITERS,
+    scale: int = QUANT_SCALE,
+) -> str:
+    parts = [
+        f"""WITH emb AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qvec
+  FROM embeddings
+),
+qx AS (
+  SELECT vec_id, generate_subscripts(qvec, 1) AS pos, unnest(qvec) AS x
+  FROM emb
+),
+a0 AS (SELECT vec_id, CAST(vec_id % {k} AS INTEGER) AS cluster FROM emb)"""
+    ]
+    for r in range(1, n_iter + 1):
+        parts.append(_oracle_round(r))
+    parts.append(f"\nSELECT vec_id, cluster FROM a{n_iter} ORDER BY vec_id")
+    return "".join(parts)
+
+
+def _oracle_round(r: int) -> str:
+    p = r - 1
+    return f""",
+s{r} AS (
+  SELECT a.cluster, q.pos, SUM(q.x) AS s, COUNT(*) AS n
+  FROM qx q JOIN a{p} a USING (vec_id) GROUP BY a.cluster, q.pos
+),
+d{r} AS (
+  SELECT q.vec_id, s.cluster,
+         CAST(SUM((s.n * q.x - s.s) * (s.n * q.x - s.s)) AS DOUBLE)
+           / CAST(ANY_VALUE(s.n) * ANY_VALUE(s.n) AS DOUBLE) AS dist
+  FROM qx q JOIN s{r} s ON s.pos = q.pos
+  GROUP BY q.vec_id, s.cluster
+),
+a{r} AS (
+  SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d{r}
+  ) WHERE rn = 1
+)"""
+
+
+# --- IVF over learned cells (the composition ann_ivf_topk defers to) ------
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN whose coarse cells come from the gated integer-exact k-means
+    (not pre-existing labels): probe the IVF_KM_N_PROBE nearest cells by
+    exact rational-centroid L2, then brute-force cosine only inside them.
+
+    This is the production composition `ann_ivf_topk`'s docstring defers
+    to — clustering job feeds the quantizer. Probing stays in the exact
+    integer domain (no float risk); the in-cell cosine reuses the
+    fold-exact + round-to-6 ranking contract that keeps the other ANN
+    queries bit-identical to DuckDB.
+    """
+    from .similarity import _dot, _norm
+
+    assigned, cents = _gate_kmeans(spark, sf_dir)
+    full = assigned.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+        "cluster",
+    ).withColumn("nrm", _norm("vec"))
+
+    queries = assigned.filter(
+        F.col("vec_id") % IVF_KM_QUERY_STRIDE == 0
+    ).select(F.col("vec_id").alias("query_id"), "qvec")
+    # probe: per query, the N_PROBE cells with smallest exact L2 to the
+    # rational centroid — computed as a map-only sorted-literal expression
+    probe_structs = []
+    for c in sorted(cents):
+        svec, n = cents[c]
+        lit_s = F.array(*[F.lit(int(v)) for v in svec])
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("qvec"),
+                lit_s,
+                lambda x, s: (F.lit(int(n)) * x - s) * (F.lit(int(n)) * x - s),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        )
+        probe_structs.append(
+            F.struct(
+                (dist.cast("double") / F.lit(int(n) * int(n)).cast("double")).alias("d"),
+                F.lit(int(c)).alias("cell"),
+            )
+        )
+    probed_cells = F.transform(
+        F.slice(F.array_sort(F.array(*probe_structs)), 1, IVF_KM_N_PROBE),
+        lambda s: s["cell"],
+    )
+    probed = queries.select(
+        "query_id", F.explode(probed_cells).alias("cell")
+    )
+
+    qf = full.filter(F.col("vec_id") % IVF_KM_QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec_f"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cands = (
+        F.broadcast(probed)
+        .join(full, probed.cell == full.cluster)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qf), "query_id")
+    )
+    scored = cands.withColumn(
+        "cosine",
+        F.round(_dot("qvec_f", "vec") / (F.col("qnrm") * F.col("nrm")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_KM_TOP_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cell").alias("cell"),
+            "cosine",
+        )
+    )
+
+
+def oracle_ann_ivf_kmeans(
+    k: int = KMEANS_GATE_K,
+    n_iter: int = KMEANS_GATE_ITERS,
+    scale: int = QUANT_SCALE,
+) -> str:
+    duck_dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)"
+    )
+    duck_norm = (
+        "sqrt(list_reduce(list_transform({a}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, y) -> acc + y))"
+    )
+    head = [
+        f"""WITH emb AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qvec
+  FROM embeddings
+),
+qx AS (
+  SELECT vec_id, generate_subscripts(qvec, 1) AS pos, unnest(qvec) AS x
+  FROM emb
+),
+a0 AS (SELECT vec_id, CAST(vec_id % {k} AS INTEGER) AS cluster FROM emb)"""
+    ]
+    for r in range(1, n_iter + 1):
+        head.append(_oracle_round(r))
+    head.append(
+        f""",
+sF AS (
+  SELECT a.cluster, q.pos, SUM(q.x) AS s, COUNT(*) AS n
+  FROM qx q JOIN a{n_iter} a USING (vec_id) GROUP BY a.cluster, q.pos
+),
+pd AS (
+  SELECT q.vec_id AS query_id, s.cluster AS cell,
+         CAST(SUM((s.n * q.x - s.s) * (s.n * q.x - s.s)) AS DOUBLE)
+           / CAST(ANY_VALUE(s.n) * ANY_VALUE(s.n) AS DOUBLE) AS dist
+  FROM qx q JOIN sF s ON s.pos = q.pos
+  WHERE q.vec_id % {IVF_KM_QUERY_STRIDE} = 0
+  GROUP BY q.vec_id, s.cluster
+),
+probed AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+    FROM pd
+  ) WHERE rn <= {IVF_KM_N_PROBE}
+),
+raw AS (SELECT vec_id, embedding FROM embeddings),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id, a.cluster AS cell,
+         ROUND({duck_dot.format(a="qe.embedding", b="e.embedding")}
+               / ({duck_norm.format(a="qe.embedding")}
+                  * {duck_norm.format(a="e.embedding")}), 6) AS cosine
+  FROM probed p
+  JOIN a{n_iter} a ON a.cluster = p.cell
+  JOIN raw e ON e.vec_id = a.vec_id AND e.vec_id <> p.query_id
+  JOIN raw qe ON qe.vec_id = p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rank FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cell, cosine
+FROM ranked WHERE rank <= {IVF_KM_TOP_K}
+ORDER BY query_id, rank"""
+    )
+    return "".join(head)
+
+
+QUERIES = {
+    "kmeans_cells": kmeans_cells_query,
+    "ann_ivf_kmeans": ann_ivf_kmeans,
+}
+
+ORACLES = {
+    "kmeans_cells": oracle_kmeans_cells(),
+    "ann_ivf_kmeans": oracle_ann_ivf_kmeans(),
+}
