@@ -169,5 +169,6 @@ def test_gate_kmeans_assignment_is_map_only(spark, sf_dir):
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    assert plan.count("Exchange") == 1 and "RoundRobinPartitioning" in plan, plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1 and "RoundRobinPartitioning" in plan, plan
     assert "hashpartitioning" not in plan, plan
