@@ -97,3 +97,92 @@ def test_cc_survivorship_has_no_static_broadcast_hint(spark, sf_dir):
         assert out.count() > 0
     finally:
         release_cc_caches()
+
+
+def test_lsh_band_join_hot_bucket_splits_under_aqe(spark, tmp_path):
+    """A hot LSH band bucket (600 near-identical docs hash to one
+    (band_idx, band_key)) is the canonical skew hazard of the candidate
+    self-join. With AQE skew-join on and fixture-scale thresholds, the
+    executed plan must show the skewed partition actually split
+    (SortMergeJoin(skew=true)) — proving the operator's join is the
+    AQE-splittable shape, not a hand-rolled construct AQE can't touch."""
+    import random
+
+    from youtube_api_batch_process_with_analytics_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    hot = [
+        (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3,
+         "en", "web", 100)
+        for i in range(600)
+    ]
+    rng = random.Random(7)
+    cold = [
+        (1000 + i,
+         " ".join(rng.choice("abcdefghijklmnop") + str(rng.randint(0, 999))
+                  for _ in range(12)),
+         "en", "web", 100)
+        for i in range(200)
+    ]
+    spark.createDataFrame(
+        hot + cold, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = dedup_minhash_lsh(spark, str(tmp_path))
+        rows = out.collect()
+        # every hot pair is an exact duplicate → jaccard 1.0 → all survive
+        assert len(rows) >= 600 * 599 // 2
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_pack_segmented_matches_plain_and_splits_hot_source(spark):
+    """pack_sequences_segmented must (a) reproduce pack_sequences bit-for-
+    bit on a corpus where one source dominates 90% of rows, and (b) run
+    its heavy window partitioned by (source, _seg) so the hot source
+    spreads over many partitions instead of serializing through one."""
+    import random
+
+    from youtube_api_batch_process_with_analytics_spark.operators.chunking import (
+        pack_sequences,
+        pack_sequences_segmented,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, "hot" if i % 10 else "cold", rng.randint(1, 200))
+            for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+    plain = {tuple(r) for r in pack_sequences(df, budget=256).collect()}
+    seg = pack_sequences_segmented(df, budget=256, segment_size=64)
+    got = {tuple(r) for r in seg.collect()}
+    assert got == plain
+
+    plan = seg._jdf.queryExecution().executedPlan().toString()
+    # the data-sized window's shuffle must be keyed on (source, _seg)
+    assert "hashpartitioning(source" in plan and "_seg" in plan, plan[:4000]

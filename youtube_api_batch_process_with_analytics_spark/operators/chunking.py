@@ -251,3 +251,68 @@ ORACLES = {
     "split_by_hash": oracle_split_by_hash(),
     "pack_sequences": oracle_pack_sequences(),
 }
+
+
+def pack_sequences_segmented(
+    docs_with_tokens: DataFrame,
+    budget: int = PACK_BUDGET,
+    group_col: str = "source",
+    segment_size: int = 100_000,
+) -> DataFrame:
+    """Skew-safe twin of ``pack_sequences`` — bit-identical output, but a
+    dominant group no longer serializes through a single window partition.
+
+    ``pack_sequences`` partitions its running-sum window by ``group_col``
+    alone; at 100 TB one hot source (a crawl that is 40% of the corpus)
+    would put its whole token stream on one executor, and AQE cannot split
+    a window the way it splits a skewed join. The remedy is the standard
+    two-pass prefix-sum decomposition:
+
+    1. segment = floor(doc_id / segment_size) — contiguous doc_id ranges,
+       so concatenating segments in order preserves the stream order the
+       packer is defined over;
+    2. the heavy running-sum window runs per (group, segment) — the hot
+       group now spreads over ~max_doc_id/segment_size partitions;
+    3. per-segment token totals (one tiny row per segment) get an
+       exclusive prefix sum over segments within the group — a window
+       over a frame that is orders of magnitude smaller than the data;
+    4. global start = segment prefix + local running start, joined back
+       on (group, segment). Integer sums throughout → exactly the bins
+       and offsets the one-window form produces (pinned by test).
+    """
+    seg = (F.col("doc_id") / segment_size).cast("long").alias("_seg")
+    local_w = (
+        Window.partitionBy(group_col, "_seg")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = docs_with_tokens.select(
+        "doc_id",
+        group_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        seg,
+    ).withColumn(
+        "_local_start", F.sum("n_tokens").over(local_w) - F.col("n_tokens")
+    )
+    seg_totals = local.groupBy(group_col, "_seg").agg(
+        F.sum("n_tokens").alias("_seg_tokens")
+    )
+    seg_w = (
+        Window.partitionBy(group_col)
+        .orderBy("_seg")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg_offsets = seg_totals.withColumn(
+        "_seg_offset", F.sum("_seg_tokens").over(seg_w) - F.col("_seg_tokens")
+    ).select(group_col, "_seg", "_seg_offset")
+    start = (F.col("_seg_offset") + F.col("_local_start")).cast("long")
+    return (
+        local.join(seg_offsets, [group_col, "_seg"])
+        .select(
+            "doc_id",
+            group_col,
+            "n_tokens",
+            F.floor(start / budget).cast("long").alias("bin"),
+            (start % budget).cast("long").alias("bin_offset"),
+        )
+    )
