@@ -186,3 +186,22 @@ def test_pack_segmented_matches_plain_and_splits_hot_source(spark):
     plan = seg._jdf.queryExecution().executedPlan().toString()
     # the data-sized window's shuffle must be keyed on (source, _seg)
     assert "hashpartitioning(source" in plan and "_seg" in plan, plan[:4000]
+
+
+def test_posting_list_keeps_shingle_work_out_of_scan_filter(spark, sf_dir):
+    """Regression pin for the InferFiltersFromGenerate trap: with a plain
+    explode, Catalyst pushes an inferred size(shingles)>0 filter into the
+    parquet scan with the shingle expression inlined, re-running the regex
+    split per element_at — O(tokens²) (measured 120ms/doc). The operator
+    uses explode_outer + a repartition barrier; the scan's filter must
+    therefore contain no split/transform work."""
+    from youtube_api_batch_process_with_analytics_spark.operators.dedup import (
+        benchmark_contamination_query,
+    )
+
+    plan = benchmark_contamination_query(spark, sf_dir)._sc._jvm.PythonSQLUtils.explainString(
+        benchmark_contamination_query(spark, sf_dir)._jdf.queryExecution(), "formatted"
+    )
+    for section in plan.split("\n\n"):
+        if "Scan parquet" in section and "DataFilters" in section:
+            assert "split(" not in section, section

@@ -214,13 +214,26 @@ def _gate_kmeans(
     n_iter: int = KMEANS_GATE_ITERS,
 ) -> tuple[DataFrame, dict[int, tuple[list[int], int]]]:
     """Run the integer-exact Lloyd rounds; return (embeddings frame with a
-    final map-only ``cluster`` column, final-assignment centroids)."""
+    final map-only ``cluster`` column, final-assignment centroids).
+
+    The quantized frame persists across the rounds: every iteration's
+    centroid collect re-reads it, and without the cache each of the
+    n_iter+1 jobs would redo the scan + spread shuffle + quantization.
+    It is unpersisted before returning — the final frame re-derives the
+    cluster column from the (cheap) scan, keeping no storage pinned."""
     emb = _quantized(spark, sf_dir)
-    assigned = emb.withColumn("cluster", (F.col("vec_id") % k).cast("int"))
-    for _ in range(n_iter):
-        cents = _int_centroids(assigned)
-        assigned = emb.withColumn("cluster", _int_assign_expr(cents))
-    return assigned, _int_centroids(assigned)
+    cached = emb.persist()
+    try:
+        assigned = cached.withColumn(
+            "cluster", (F.col("vec_id") % k).cast("int")
+        )
+        for _ in range(n_iter):
+            cents = _int_centroids(assigned)
+            assigned = cached.withColumn("cluster", _int_assign_expr(cents))
+        final_cents = _int_centroids(assigned)
+    finally:
+        cached.unpersist()
+    return emb.withColumn("cluster", _int_assign_expr(cents)), final_cents
 
 
 def kmeans_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -728,14 +728,33 @@ def benchmark_contamination(
 
 
 def _posting_list(df: DataFrame, id_col: str) -> DataFrame:
-    """(id, shingle) posting list; tokens materialize once per row (the
-    two-step projection — inlining the split into the shingle lambda would
-    re-run the regex per shingle, the O(tokens²) trap noted atop)."""
-    return (
+    """(id, shingle) posting list.
+
+    Two deliberate plan-shape choices, both load-bearing:
+
+    - ``explode_outer``, not ``explode``: for a plain explode the
+      InferFiltersFromGenerate rule synthesizes ``size(shingles) > 0 AND
+      isnotnull(shingles)`` and pushes it into the scan's Filter with the
+      whole shingle expression INLINED — where each ``element_at(split(
+      trim(text)), i)`` re-runs the regex split, the O(tokens²) trap
+      (measured 120ms/doc vs ~1ms; 6s → 0.3s for the benchmark side).
+      The rule skips outer generates, and the CASE WHEN shingle builder
+      always yields a non-empty array, so the outer variant is
+      semantically identical here.
+    - the repartition between the shingle projection and the explode is a
+      materialization barrier (CollapseProject cannot cross an Exchange,
+      so the shingle arrays evaluate exactly once in the map stage) and
+      fans the fixture's single parquet split across cores — the role
+      spread() plays elsewhere. _shingled() solves the same two problems
+      with a persist because its output feeds multiple consumers; this
+      one is consumed once."""
+    para = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
         df.selectExpr(id_col, f"{_TOKS_SPARK} AS toks")
         .selectExpr(id_col, f"{_SHINGLES_FROM_TOKS_SPARK} AS shingles")
-        .select(id_col, F.explode("shingles").alias("shingle"))
+        .repartition(para)
     )
+    return sh.select(id_col, F.explode_outer("shingles").alias("shingle"))
 
 
 def benchmark_contamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
