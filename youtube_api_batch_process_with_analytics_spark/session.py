@@ -50,7 +50,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # 16g: the long-lived 65-query bench session accumulates codegen
+        # classes, broadcast blocks, and cached partitions; at 8g the old
+        # gen fills and per-action GC pauses inflate every small job by
+        # ~0.3-0.5s late in the suite (measured). The test box has 128 GiB.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():
