@@ -205,3 +205,37 @@ def test_posting_list_keeps_shingle_work_out_of_scan_filter(spark, sf_dir):
     for section in plan.split("\n\n"):
         if "Scan parquet" in section and "DataFilters" in section:
             assert "split(" not in section, section
+
+
+def test_cc_long_chain_converges_through_checkpoints(spark, tmp_path):
+    """An adversarial chain corpus (doc i near-dups doc i±1 via a sliding
+    token window) forces min-label propagation through many rounds — well
+    past CC_CHECKPOINT_INTERVAL, so the localCheckpoint lineage guard is
+    actually exercised — and must still converge to ONE component rooted
+    at the smallest doc_id."""
+    from youtube_api_batch_process_with_analytics_spark.operators import dedup
+
+    tokens = [f"w{i}" for i in range(200)]
+    window = 40
+    rows = [
+        (i, " ".join(tokens[i % 120: i % 120 + window]), "en", "web", 100)
+        for i in range(150)
+    ]
+    # i % 120 wraps the stream so texts repeat with period 120 — adjacent
+    # docs overlap by window-1 tokens (J >> threshold), and the whole set
+    # chains into a single component.
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = dedup.dedup_connected_components(spark, str(tmp_path))
+    try:
+        comp = {r.doc_id: r.component_id for r in out.collect()}
+        assert set(comp.values()) == {0}, sorted(set(comp.values()))[:5]
+        assert len(comp) == 150
+        assert dedup.CC_LAST_ROUNDS > dedup.CC_CHECKPOINT_INTERVAL, (
+            f"chain resolved in {dedup.CC_LAST_ROUNDS} rounds — fixture no "
+            "longer exercises the checkpoint path"
+        )
+    finally:
+        dedup.release_cc_caches()

@@ -538,9 +538,13 @@ ORDER BY vec_id_a, vec_id_b
 CC_MAX_ITERATIONS = 50
 # Every this-many propagation rounds the iterate is localCheckpoint'ed so
 # the plan a long chain builds stays bounded (persist truncates execution
-# but not lineage; an adversarial path graph would otherwise stack 50
-# joins of analysis work before the iteration cap trips).
-CC_CHECKPOINT_INTERVAL = 10
+# but not lineage, and each round doubles the plan — comp is referenced
+# twice — so the interval caps the blow-up at 2^interval copies of a
+# checkpointed leaf).
+CC_CHECKPOINT_INTERVAL = 5
+# Diagnostics: propagation rounds of the most recent invocation (tests use
+# this to prove a long-chain graph actually exercised the checkpoint path).
+CC_LAST_ROUNDS = 0
 # Final per-invocation `comp` caches that the returned plan still references;
 # drained at the start of the next invocation or via release_cc_caches().
 _CC_LIVE_CACHES: list[DataFrame] = []
@@ -585,10 +589,17 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # release it here instead) — keeps storage flat across repeated calls.
     release_cc_caches()
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    # localCheckpoint (eager), not a bare persist: every propagation round
+    # references the graph TWICE (comp directly + through nbr_min), so the
+    # logical plan doubles per round — with the full LSH pair-plan at the
+    # leaves, ten rounds would stack 2^10 copies of it and OOM the driver
+    # during analysis on a long-chain graph. Truncating the edge lineage
+    # to a LogicalRDD makes the doubling harmless (2^k copies of a 2-node
+    # leaf), and the per-interval checkpoint below resets even that.
     edges = (
         pairs.selectExpr("doc_id_a AS src", "doc_id_b AS dst")
         .unionAll(pairs.selectExpr("doc_id_b AS src", "doc_id_a AS dst"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # Iterate ONLY the pair-graph vertex set: docs with no near-dup pair are
     # their own singleton component and never change — at corpus scale the
@@ -601,7 +612,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     comp = cached
+    global CC_LAST_ROUNDS
+    CC_LAST_ROUNDS = 0
     for _round in range(CC_MAX_ITERATIONS):
+        CC_LAST_ROUNDS = _round + 1
         nbr_min = (
             edges.join(comp, edges.src == comp.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
