@@ -25,6 +25,8 @@ from youtube_api_batch_process_with_analytics_spark.operators import (
     joins as _joins,
     logs as _logs,
     projections as _projections,
+    ranking as _ranking,
+    sampling as _sampling,
     scalar_surface as _scalar,
     sketches as _sketches,
     temporal_joins as _temporal,
@@ -41,6 +43,8 @@ _MODULES = [
     _dedup,
     _chunking,
     _clustering,
+    _sampling,
+    _ranking,
     _similarity,
     _media,
     _scalar,
@@ -87,7 +91,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every tail query also has a pytest differential (tests/test_oracle_parity
 # runs the full dict), and tools/compare_oracle.py artifacts are committed
 # per round (GATECHECK_r{N}.txt) so tail rows retain recorded verification.
+# Round-4 mid-round additions (corpus_sample_hash, stratified_sample,
+# tfidf_top_terms, bm25_search) enter the head; four more r3-hash-green,
+# family-covered queries move to the tail to hold the head at 50:
+#   set_ops_user_cohorts → §2.7 via batch_union_envelope (head this round);
+#   dedup_simhash → dedup family via minhash/embedding/CC/jaccard;
+#   ann_cosine_topk → similarity via ann_ivf_topk + ann_ivf_kmeans;
+#   language_distribution → A5-A7 via language_fallback_resolution +
+#     language_id (language_mode already rotates back next round).
 _GATE_TAIL = [
+    "set_ops_user_cohorts",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "language_distribution",
     "pagination_meta",
     "top_loggers",
     "recent_level_stats",

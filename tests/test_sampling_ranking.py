@@ -1,0 +1,149 @@
+"""Unit + plan tests for the sampling and ranking operators.
+
+The oracle-differential coverage lives in tests/test_oracle_parity.py
+(full queries() dict); these pin the semantic invariants the hash compare
+cannot express — subset/exact-k properties, tie-break determinism, and
+the 100-TB plan shapes (salted two-stage top-k, no distinct-expand).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from youtube_api_batch_process_with_analytics_spark.operators import (
+    ranking as rk,
+    sampling as sp,
+)
+from youtube_api_batch_process_with_analytics_spark.sources import load_table
+
+
+def test_hash_sample_is_prefix_subset(spark, sf_dir):
+    """Halving the threshold must select a strict subset of the same draw —
+    the property that makes hash sampling composable across pipeline
+    stages (re-sampling a sample never needs the original corpus)."""
+    full = sp.sample_corpus_hash(spark, sf_dir)
+    ids = {r.doc_id for r in full.collect()}
+    tighter = {
+        r.doc_id
+        for r in full.filter(F.col("sample_bucket") < "20000000").collect()
+    }
+    assert tighter and tighter < ids
+
+
+def test_hash_sample_rate_close_to_nominal(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n, k = docs.count(), sp.sample_corpus_hash(spark, sf_dir).count()
+    # md5 is uniform; at n=500 a 25% Bernoulli draw stays within ±6 sigma.
+    sigma = math.sqrt(n * 0.25 * 0.75)
+    assert abs(k - 0.25 * n) <= 6 * sigma
+
+
+def test_stratified_exact_k_per_stratum(spark, sf_dir):
+    got = (
+        sp.stratified_sample(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("k"), F.max("sample_rank").alias("max_rank"))
+    )
+    want = {
+        r.lang: math.ceil(r.n * sp.STRAT_FRAC)
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rows = got.collect()
+    assert {r.lang: r.k for r in rows} == want
+    assert all(r.max_rank == r.k for r in rows)
+
+
+def test_stratified_two_stage_equals_single_window(spark, sf_dir):
+    """The salted two-stage top-k must return exactly the single-window
+    result (the oracle also recomputes it; this pins it Spark-side with
+    the engine's own expressions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.ceil(F.count("*") * F.lit(sp.STRAT_FRAC)).alias("k")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit(sp.STRAT_SALT), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    ref = (
+        docs.join(counts, "lang")
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= F.col("k"))
+    )
+    got = {
+        (r.lang, r.doc_id, r.sample_rank)
+        for r in sp.stratified_sample(spark, sf_dir).collect()
+    }
+    assert got == {(r.lang, r.doc_id, r.r) for r in ref.collect()}
+
+
+def test_stratified_stage1_is_salted(spark, sf_dir):
+    """Plan pin: the first window must partition by (lang, salt), never by
+    the stratum alone — the whole point of the two-stage shape is that no
+    task ever sees a full stratum."""
+    plan = sp.stratified_sample(spark, sf_dir)._jdf.queryExecution().toString()
+    assert "_salt" in plan
+
+
+def test_tfidf_rank_is_deterministic_and_bounded(spark, sf_dir):
+    rows = rk.tfidf_top_terms(spark, sf_dir).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_rows in per_doc.values():
+        doc_rows.sort(key=lambda r: r.term_rank)
+        assert [r.term_rank for r in doc_rows] == list(
+            range(1, len(doc_rows) + 1)
+        )
+        assert len(doc_rows) <= rk.TOP_TERMS_PER_DOC
+        # scores non-increasing; equal scores ordered by term ascending
+        for a, b in zip(doc_rows, doc_rows[1:]):
+            assert a.score > b.score or (
+                a.score == b.score and a.term < b.term
+            )
+
+
+def test_tfidf_df_is_agg_of_agg_not_distinct(spark, sf_dir):
+    """Document frequency must come from the already-aggregated (doc,term)
+    frame — a COUNT(DISTINCT doc_id) over raw tokens would expand every
+    token occurrence into the shuffle at 100 TB."""
+    plan = (
+        rk.tfidf_top_terms(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "distinct" not in plan.lower()
+
+
+def test_bm25_only_matching_docs_and_positive_scores(spark, sf_dir):
+    rows = rk.bm25_search(spark, sf_dir).collect()
+    assert 0 < len(rows) <= rk.BM25_TOP_K
+    assert all(r.score > 0 for r in rows)
+    assert all(1 <= r.n_terms_matched <= len(rk.BM25_QUERY_TERMS) for r in rows)
+    # deterministic ordering: score desc, doc_id asc on ties
+    for a, b in zip(rows, rows[1:]):
+        assert a.score > b.score or (a.score == b.score and a.doc_id < b.doc_id)
+
+
+def test_bm25_filters_postings_before_join(spark, sf_dir):
+    """The query-term predicate must reach below the tf ⋈ df join so the
+    posting-list join touches only the query's terms."""
+    plan = (
+        rk.bm25_search(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the IN-list literal filter must sit on both posting-list join inputs
+    # (tf side and df side), directly over the token Generate
+    import re
+
+    hits = re.findall(r"term#\d+ IN \(spark,hash,window\)", plan)
+    assert len(hits) >= 2, plan

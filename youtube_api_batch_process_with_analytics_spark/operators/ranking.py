@@ -1,0 +1,228 @@
+"""Term-weighting / relevance ranking over the document corpus.
+
+Beyond the reference surface (SURVEY.md §7.1 M7): corpus-level term
+statistics are the backbone of classic quality filtering and retrieval
+(keyword search over 100 TB of crawl text, rare-term document scoring,
+boilerplate detection via low-IDF density). The reference's closest shape
+is its per-channel language frequency count (``youtube_api_handler.py:
+1119-1122``) — a single groupBy; these operators add the full
+corpus-statistics join pattern.
+
+Scale shape (the part that matters at 100 TB):
+
+- tokenize + explode is map-side; the ``(doc_id, term)`` term-frequency
+  aggregate is ONE shuffle with map-side partial aggregation.
+- document frequency is an agg **of the tf aggregate** (``groupBy(term)``
+  on already-deduplicated doc-term pairs) — never a ``COUNT(DISTINCT)``
+  expand over raw token occurrences.
+- the tf ⋈ df join shuffles on ``term``; hot terms (stopwords) are
+  exactly the AQE skew-join case, and the df side is vocabulary-sized
+  (millions of rows at worst), not corpus-sized.
+- BM25 query scoring filters the tf table to the query's terms FIRST
+  (predicate on the shuffle key), so the join touches a vanishing
+  fraction of the posting lists; per-doc term scores combine via
+  conditional aggregation in a fixed literal order so float addition
+  stays deterministic across engines and partitionings.
+
+IDF here is the Robertson–Spärck-Jones odds core ``(N - df + 0.5) /
+(df + 0.5)`` **without the log**: log is a monotone transform, so
+per-term orderings are identical, and avoiding transcendental functions
+keeps Spark/DuckDB doubles bit-identical (same policy as
+``text_analysis.doc_text_stats``). The avgdl normalizer is an exact
+``sum(long)/count`` — no float summation order dependence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table, spread
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+TOP_TERMS_PER_DOC = 5
+BM25_QUERY_TERMS = ("spark", "hash", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def _tokens():
+    return F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE), lambda t: t != ""
+    )
+
+
+def _term_freq(docs: DataFrame) -> DataFrame:
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+def _with_corpus_stats(tf: DataFrame, docs: DataFrame) -> DataFrame:
+    """Attach df (document frequency) and n_docs to a tf frame."""
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    return tf.join(dfreq, "term").join(F.broadcast(n_docs))
+
+
+def _idf_core():
+    return (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by tf·idf.
+
+    ``score = round(tf * (n_docs - df + 0.5) / (df + 0.5), 6)``; rank is
+    deterministic via the (score DESC, term ASC) sort key.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scored = _with_corpus_stats(_term_freq(docs), docs).withColumn(
+        "score", F.round(F.col("tf") * _idf_core(), 6)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= TOP_TERMS_PER_DOC)
+        .select("doc_id", "term", "tf", "df", "score", "term_rank")
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+           t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         ROUND(tf * ((n_docs - df + 0.5) / (df + 0.5)), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, term) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, term_rank
+FROM ranked WHERE term_rank <= {TOP_TERMS_PER_DOC}
+ORDER BY doc_id, term_rank
+"""
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for a fixed keyword query, BM25-style scoring.
+
+    Per matched term: ``idf_core * tf*(k1+1) / (tf + k1*(1 - b +
+    b*dl/avgdl))`` with k1=1.2, b=0.75, dl = whitespace-free token count,
+    avgdl exact. Per-doc total adds the (≤ 3) term contributions in fixed
+    query order via conditional aggregation — no float-sum order
+    nondeterminism — then rounds to 6. Deterministic top-k via
+    (score DESC, doc_id).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lens = docs.select("doc_id", F.size(_tokens()).cast("long").alias("dl"))
+    avgdl = lens.agg(
+        (F.sum("dl") / F.count("*")).alias("avgdl")
+    )
+    tf = _term_freq(docs).filter(F.col("term").isin(*BM25_QUERY_TERMS))
+    scored = (
+        _with_corpus_stats(tf, docs)
+        .join(lens, "doc_id")
+        .join(F.broadcast(avgdl))
+        .withColumn(
+            "_s",
+            _idf_core()
+            * (F.col("tf") * (BM25_K1 + 1.0))
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms_matched"),
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("_s"))).alias(f"_s_{i}")
+            for i, t in enumerate(BM25_QUERY_TERMS)
+        ],
+    )
+    total = F.lit(0.0)
+    for i in range(len(BM25_QUERY_TERMS)):
+        total = total + F.coalesce(F.col(f"_s_{i}"), F.lit(0.0))
+    return (
+        per_doc.withColumn("score", F.round(total, 6))
+        .select("doc_id", "n_terms_matched", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP_K)
+    )
+
+
+def _oracle_bm25() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    s_cols = ",\n         ".join(
+        f"SUM(CASE WHEN term = '{t}' THEN _s END) AS _s_{i}"
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    )
+    total = " + ".join(
+        f"COALESCE(_s_{i}, 0.0)" for i in range(len(BM25_QUERY_TERMS))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+           t -> t <> '')) AS term
+  FROM documents
+),
+alltf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+lens AS (SELECT doc_id,
+                CAST(len(list_filter(
+                  regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                  t -> t <> '')) AS BIGINT) AS dl
+         FROM documents),
+avgd AS (SELECT CAST(SUM(dl) AS BIGINT) / COUNT(*) AS avgdl FROM lens),
+tf AS (SELECT * FROM alltf WHERE term IN ({terms})),
+dfreq AS (SELECT term, COUNT(*) AS df FROM alltf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term,
+         ((n_docs - df + 0.5) / (df + 0.5))
+           * (t.tf * ({BM25_K1} + 1.0))
+           / (t.tf + {BM25_K1}
+              * (1.0 - {BM25_B} + {BM25_B} * lens.dl / avgdl)) AS _s
+  FROM tf t
+  JOIN dfreq USING (term)
+  JOIN lens ON lens.doc_id = t.doc_id
+  CROSS JOIN n CROSS JOIN avgd
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_terms_matched,
+         {s_cols}
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_terms_matched, ROUND({total}, 6) AS score
+FROM per_doc
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOP_K}
+"""
+
+
+QUERIES = {
+    "tfidf_top_terms": tfidf_top_terms,
+    "bm25_search": bm25_search,
+}
+
+ORACLES = {
+    "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "bm25_search": _oracle_bm25(),
+}
