@@ -173,3 +173,38 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
         assert got == batch.count()
     finally:
         q.stop()
+
+
+def test_incremental_dedup_stream_vs_history(spark, sf_dir, tmp_path):
+    """Stream-static anti-join ingest: documents already fingerprinted in
+    the historical corpus are dropped; genuinely new ones survive. The
+    expected set comes from the batch anti-join over the same frames."""
+    from youtube_api_batch_process_with_analytics_spark.streaming.ingest import (
+        incremental_dedup_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") % 5 != 0)  # 80% already ingested
+    path = str(tmp_path / "ingest_stream")
+    docs.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    q = (
+        incremental_dedup_stream(stream, history)
+        .writeStream.format("memory")
+        .queryName("ingest_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = {r.doc_id for r in spark.table("ingest_dedup").collect()}
+        expected_df = docs.join(
+            history.select(F.md5("text").alias("fp")).distinct(),
+            F.md5(docs.text) == F.col("fp"),
+            "left_anti",
+        )
+        expected = {r.doc_id for r in expected_df.collect()}
+        assert got == expected and got
+    finally:
+        q.stop()
