@@ -98,8 +98,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #   dedup_simhash → dedup family via minhash/embedding/CC/jaccard;
 #   ann_cosine_topk → similarity via ann_ivf_topk + ann_ivf_kmeans;
 #   language_distribution → A5-A7 via language_fallback_resolution +
-#     language_id (language_mode already rotates back next round).
+#     language_id (language_mode already rotates back next round);
+#   ngram_jaccard_pairs → jaccard-verify family via dedup_minhash_lsh +
+#     benchmark_contamination (same shingle posting-list machinery),
+#     displaced by bigram_lm_quality.
 _GATE_TAIL = [
+    "ngram_jaccard_pairs",
     "set_ops_user_cohorts",
     "dedup_simhash",
     "ann_cosine_topk",

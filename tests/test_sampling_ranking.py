@@ -147,3 +147,27 @@ def test_bm25_filters_postings_before_join(spark, sf_dir):
 
     hits = re.findall(r"term#\d+ IN \(spark,hash,window\)", plan)
     assert len(hits) >= 2, plan
+
+
+def test_bigram_lm_scores_are_probability_means(spark, sf_dir):
+    """Each lm_score is a mean of Laplace-smoothed probabilities, so it
+    must sit strictly inside (0, 1); n_bigrams must equal token_count - 1
+    for every scored document."""
+    rows = rk.bigram_lm_quality(spark, sf_dir).collect()
+    assert rows
+    assert all(0.0 < r.lm_score < 1.0 for r in rows)
+    lens = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col("text")), rk.TOKEN_SPLIT_RE),
+                    lambda t: t != "",
+                )
+            ).alias("n"),
+        )
+        .collect()
+    }
+    assert all(r.n_bigrams == lens[r.doc_id] - 1 for r in rows)

@@ -217,12 +217,111 @@ LIMIT {BM25_TOP_K}
 """
 
 
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram LM scoring — the classic perplexity-filter
+    analog (score each document by how typical its word transitions are
+    for the corpus), with transcendentals removed for cross-engine
+    determinism: per bigram occurrence the Laplace-smoothed probability
+    ``(c(w1,w2) + 1) / (c(w1·) + V)``, per document the *mean* probability
+    instead of mean log-probability (log is per-occurrence monotone; the
+    mean-of-probs ordering differs from perplexity's but is a
+    deterministic, defensible quality signal).
+
+    Scale shape: bigram/left-word stats are ONE shuffle each with
+    map-side partials; ``V`` is the row count of the stats table (an
+    agg-of-agg, never a distinct-expand over occurrences); the
+    occurrence ⋈ stats joins shuffle on the bigram/word keys (AQE skew
+    handles hot function words). The per-doc sum folds over the
+    document-order array (``F.aggregate`` ↔ DuckDB ``list_reduce``) —
+    identical operation order, so doubles match bitwise.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", _tokens().alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    occ = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("pos", "bigram"),
+    ).withColumn("w1", F.substring_index(F.col("bigram"), " ", 1))
+    cb = occ.groupBy("bigram").agg(F.count("*").alias("cb"))
+    cu = occ.groupBy("w1").agg(F.count("*").alias("cu"))
+    vocab = cu.agg(F.count("*").alias("v"))
+    probs = (
+        occ.join(cb, "bigram")
+        .join(cu, "w1")
+        .join(F.broadcast(vocab))
+        .withColumn(
+            "p", (F.col("cb") + 1) / (F.col("cu") + F.col("v"))
+        )
+    )
+    per_doc = probs.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "p"))),
+                lambda s: s["p"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_sum_p"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("_sum_p") / F.col("n_bigrams"), 6).alias("lm_score"),
+    )
+
+
+ORACLE_BIGRAM_LM_QUALITY = f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, pos, toks[pos] || ' ' || toks[pos + 1] AS bigram,
+         toks[pos] AS w1
+  FROM toked, LATERAL (
+    SELECT unnest(range(1, len(toks))) AS pos
+  )
+  WHERE len(toks) >= 2
+),
+cb AS (SELECT bigram, COUNT(*) AS cb FROM occ GROUP BY 1),
+cu AS (SELECT w1, COUNT(*) AS cu FROM occ GROUP BY 1),
+v AS (SELECT COUNT(*) AS v FROM cu),
+probs AS (
+  SELECT occ.doc_id, occ.pos,
+         (cb + 1) / (cu + v) AS p
+  FROM occ JOIN cb USING (bigram) JOIN cu USING (w1) CROSS JOIN v
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         list_reduce(
+           list_transform(
+             list_sort(list(struct_pack(pos := pos, p := p))), s -> s.p),
+           (acc, x) -> acc + x) AS _sum_p
+  FROM probs GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, ROUND(_sum_p / n_bigrams, 6) AS lm_score
+FROM per_doc ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_search": bm25_search,
+    "bigram_lm_quality": bigram_lm_quality,
 }
 
 ORACLES = {
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "bm25_search": _oracle_bm25(),
+    "bigram_lm_quality": ORACLE_BIGRAM_LM_QUALITY,
 }
