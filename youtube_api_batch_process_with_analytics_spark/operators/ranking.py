@@ -78,7 +78,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic via the (score DESC, term ASC) sort key.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    scored = _with_corpus_stats(_term_freq(docs), docs).withColumn(
+    # The tf frame feeds both the df aggregate and the final join — a
+    # lazy local checkpoint materializes the tokenize+explode+agg once
+    # (MEMORY_AND_DISK) instead of recomputing the corpus explode per
+    # consumer. The production analog: the inverted-index build persists
+    # its posting table before deriving term statistics from it.
+    tf = _term_freq(docs).localCheckpoint(eager=False)
+    scored = _with_corpus_stats(tf, docs).withColumn(
         "score", F.round(F.col("tf") * _idf_core(), 6)
     )
     w = Window.partitionBy("doc_id").orderBy(
@@ -122,46 +128,55 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 documents for a fixed keyword query, BM25-style scoring.
 
     Per matched term: ``idf_core * tf*(k1+1) / (tf + k1*(1 - b +
-    b*dl/avgdl))`` with k1=1.2, b=0.75, dl = whitespace-free token count,
-    avgdl exact. Per-doc total adds the (≤ 3) term contributions in fixed
-    query order via conditional aggregation — no float-sum order
-    nondeterminism — then rounds to 6. Deterministic top-k via
-    (score DESC, doc_id).
+    b*dl/avgdl))`` with k1=1.2, b=0.75, dl = token count, avgdl exact.
+
+    For a FIXED small query set the posting-list join (tfidf_top_terms'
+    shape) is the wrong plan: it explodes every token of the corpus to
+    then keep 3 terms. Instead each query term compiles to a map-side
+    array counter ``size(filter(toks, x -> x = term))`` — per-term tf,
+    dl, and match flags all come out of ONE scan with zero shuffles; the
+    corpus constants (n_docs, per-term df, Σdl) are one tiny aggregate
+    broadcast back. At 100 TB: one pass over the corpus, one scalar-row
+    broadcast, then TakeOrderedAndProject — no joins at all. Per-doc term
+    contributions add in fixed query order (no float-sum order
+    nondeterminism); deterministic top-k via (score DESC, doc_id).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    lens = docs.select("doc_id", F.size(_tokens()).cast("long").alias("dl"))
-    avgdl = lens.agg(
-        (F.sum("dl") / F.count("*")).alias("avgdl")
+    def term_count(t: str):
+        return F.size(F.filter(_tokens(), lambda x: x == t)).cast("long")
+
+    per_term_tf = [term_count(t) for t in BM25_QUERY_TERMS]
+    base = docs.select(
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("dl"),
+        *[tf.alias(f"_tf_{i}") for i, tf in enumerate(per_term_tf)],
     )
-    tf = _term_freq(docs).filter(F.col("term").isin(*BM25_QUERY_TERMS))
-    scored = (
-        _with_corpus_stats(tf, docs)
-        .join(lens, "doc_id")
-        .join(F.broadcast(avgdl))
-        .withColumn(
-            "_s",
-            _idf_core()
-            * (F.col("tf") * (BM25_K1 + 1.0))
-            / (
-                F.col("tf")
-                + BM25_K1
-                * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-            ),
-        )
-    )
-    per_doc = scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_terms_matched"),
+    consts = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("_sum_dl"),
         *[
-            F.sum(F.when(F.col("term") == t, F.col("_s"))).alias(f"_s_{i}")
-            for i, t in enumerate(BM25_QUERY_TERMS)
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+            for i in range(len(BM25_QUERY_TERMS))
         ],
     )
+    j = base.join(F.broadcast(consts))
+    avgdl = F.col("_sum_dl") / F.col("n_docs")
+    norm = BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)
     total = F.lit(0.0)
+    matched = F.lit(0)
     for i in range(len(BM25_QUERY_TERMS)):
-        total = total + F.coalesce(F.col(f"_s_{i}"), F.lit(0.0))
+        tf, df = F.col(f"_tf_{i}"), F.col(f"_df_{i}")
+        idf = (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        s = idf * (tf * (BM25_K1 + 1.0)) / (tf + norm)
+        total = total + F.when(tf > 0, s).otherwise(F.lit(0.0))
+        matched = matched + (tf > 0).cast("int")
     return (
-        per_doc.withColumn("score", F.round(total, 6))
-        .select("doc_id", "n_terms_matched", "score")
+        j.select(
+            "doc_id",
+            matched.cast("long").alias("n_terms_matched"),
+            F.round(total, 6).alias("score"),
+        )
+        .filter(F.col("n_terms_matched") > 0)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(BM25_TOP_K)
     )
@@ -239,16 +254,22 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.select("doc_id", _tokens().alias("toks")).filter(
         F.size("toks") >= 2
     )
-    occ = toked.select(
-        "doc_id",
-        F.posexplode(
-            F.zip_with(
-                F.slice(F.col("toks"), 1, F.size("toks") - 1),
-                F.slice(F.col("toks"), 2, F.size("toks") - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("pos", "bigram"),
-    ).withColumn("w1", F.substring_index(F.col("bigram"), " ", 1))
+    occ = (
+        toked.select(
+            "doc_id",
+            F.posexplode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("pos", "bigram"),
+        )
+        .withColumn("w1", F.substring_index(F.col("bigram"), " ", 1))
+        # consumed three times (bigram stats, left-word stats, the
+        # probability join) — materialize the explode once, lazily
+        .localCheckpoint(eager=False)
+    )
     cb = occ.groupBy("bigram").agg(F.count("*").alias("cb"))
     cu = occ.groupBy("w1").agg(F.count("*").alias("cu"))
     vocab = cu.agg(F.count("*").alias("v"))
