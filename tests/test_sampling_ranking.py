@@ -170,3 +170,112 @@ def test_bigram_lm_scores_are_probability_means(spark, sf_dir):
         .collect()
     }
     assert all(r.n_bigrams == lens[r.doc_id] - 1 for r in rows)
+
+
+def test_tokenizer_parity_spark_vs_duckdb(spark, duck):
+    """The `[^a-z0-9]+` tokenizer is load-bearing for three gated queries
+    (tfidf/bm25/bigram-LM): Spark's Java-regex split and DuckDB's RE2
+    split must produce identical token arrays over adversarial ASCII —
+    punctuation soup, digit runs, leading/trailing separators, empties."""
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = st.characters(min_codepoint=32, max_codepoint=126)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(st.text(alphabet=alphabet, max_size=40), min_size=1, max_size=24))
+    def check(texts):
+        sdf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i long, text string"
+        )
+        got = {
+            r.i: r.toks
+            for r in sdf.select(
+                "i",
+                F.filter(
+                    F.split(F.lower(F.col("text")), rk.TOKEN_SPLIT_RE),
+                    lambda t: t != "",
+                ).alias("toks"),
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            want = duck.execute(
+                "SELECT list_filter(regexp_split_to_array(lower(?), '[^a-z0-9]+'),"
+                " t -> t <> '')",
+                [t],
+            ).fetchone()[0]
+            assert got[i] == list(want), (t, got[i], want)
+
+    check()
+
+
+def test_tfidf_hot_term_join_is_salted(spark, tmp_path):
+    """The tf ⋈ df posting-list join's skew hazard is a stopword present
+    in every document. AQE's OptimizeSkewedJoin cannot split this join —
+    both inputs are aggregate-finalized stages, not raw shuffle reads —
+    so the operator salts explicitly (operators/skew.py). Pin (a) the
+    join keys include the salt, and (b) the salted result is identical
+    to the plain unsalted join on a hot-term fixture."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (
+            i,
+            "hotword " * 20
+            + " ".join(
+                rng.choice("qrstuvwxyz") + str(rng.randint(0, 9999))
+                for _ in range(10)
+            ),
+            "en",
+            "web",
+            100,
+        )
+        for i in range(500)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(2).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = rk.tfidf_top_terms(spark, str(tmp_path))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan, plan[:3000]
+
+    got = {(r.doc_id, r.term, r.tf, r.df, r.score, r.term_rank)
+           for r in out.collect()}
+    # unsalted reference built from the same internals
+    from youtube_api_batch_process_with_analytics_spark.sources import (
+        load_table as lt,
+    )
+
+    docs = lt(spark, str(tmp_path), "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), rk.TOKEN_SPLIT_RE),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.count()
+    scored = tf.join(dfreq, "term").withColumn(
+        "score",
+        F.round(
+            F.col("tf")
+            * ((F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    ref = {
+        (r.doc_id, r.term, r.tf, r.df, r.score, r.term_rank)
+        for r in scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= rk.TOP_TERMS_PER_DOC)
+        .collect()
+    }
+    assert got == ref

@@ -59,10 +59,24 @@ def _term_freq(docs: DataFrame) -> DataFrame:
 
 
 def _with_corpus_stats(tf: DataFrame, docs: DataFrame) -> DataFrame:
-    """Attach df (document frequency) and n_docs to a tf frame."""
+    """Attach df (document frequency) and n_docs to a tf frame.
+
+    The tf ⋈ df join's skew hazard is a stopword present in every
+    document. AQE's skew-join split cannot help here: both join inputs
+    are aggregate-FINALIZED stages (HashAggregate directly under the
+    join), and OptimizeSkewedJoin only splits partitions whose children
+    are raw ENSURE_REQUIREMENTS shuffle reads — splitting would have to
+    duplicate a partition that finalizes an aggregate, which the rule
+    (correctly) refuses. So the hot key is spread explicitly: the
+    vocabulary-sized df side replicates across salts, the corpus-sized
+    tf side salts by doc hash (operators/skew.py) — bit-identical rows,
+    hot term on n_salts partitions instead of one.
+    """
+    from .skew import salted_join
+
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
-    return tf.join(dfreq, "term").join(F.broadcast(n_docs))
+    return salted_join(tf, dfreq, "term", "doc_id").join(F.broadcast(n_docs))
 
 
 def _idf_core():
@@ -273,9 +287,13 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = occ.groupBy("bigram").agg(F.count("*").alias("cb"))
     cu = occ.groupBy("w1").agg(F.count("*").alias("cu"))
     vocab = cu.agg(F.count("*").alias("v"))
+    # hot function-word bigrams skew both stats joins; AQE cannot split
+    # aggregate-finalized join inputs (see _with_corpus_stats), so salt
+    # explicitly — stats sides are vocabulary-sized, replication is cheap
+    from .skew import salted_join
+
     probs = (
-        occ.join(cb, "bigram")
-        .join(cu, "w1")
+        salted_join(salted_join(occ, cb, "bigram", "doc_id"), cu, "w1", "doc_id")
         .join(F.broadcast(vocab))
         .withColumn(
             "p", (F.col("cb") + 1) / (F.col("cu") + F.col("v"))

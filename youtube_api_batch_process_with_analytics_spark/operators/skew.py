@@ -9,9 +9,12 @@ pure DataFrame compositions:
   Correct for any associative aggregate; costs one extra (tiny) shuffle.
 - **salted join**: explode the small side S× with every salt value, salt
   the big side row-wise, join on (key, salt). The hot key's rows land on
-  S partitions instead of one. (AQE's skew-join split handles sort-merge
-  skew automatically; explicit salting is the portable form and the only
-  option for aggregations.)
+  S partitions instead of one. AQE's skew-join split covers plain
+  scan-fed sort-merge joins, but empirically (Spark 4.1, pinned by
+  tests/test_scale_plans.py vs tests/test_sampling_ranking.py) it does
+  NOT fire when a join input derives from an aggregate — the tf ⋈ df
+  posting-list shape — so explicit salting is the portable form and the
+  only option there, as well as for aggregations.
 
 Salts derive from a deterministic hash of a row-unique column — results
 are bit-identical to the unsalted plan, which the tests pin.
