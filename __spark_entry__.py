@@ -101,8 +101,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     language_id (language_mode already rotates back next round);
 #   ngram_jaccard_pairs → jaccard-verify family via dedup_minhash_lsh +
 #     benchmark_contamination (same shingle posting-list machinery),
-#     displaced by bigram_lm_quality.
+#     displaced by bigram_lm_quality;
+#   log_level_stats → A8 family via log_page + recent_level_stats'
+#     r3 attestation, displaced by doc_repetition_stats.
 _GATE_TAIL = [
+    "log_level_stats",
     "ngram_jaccard_pairs",
     "set_ops_user_cohorts",
     "dedup_simhash",

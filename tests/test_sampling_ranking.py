@@ -279,3 +279,28 @@ def test_tfidf_hot_term_join_is_salted(spark, tmp_path):
         .collect()
     }
     assert got == ref
+
+
+def test_repetition_stats_flag_degenerate_docs(spark, tmp_path):
+    """Gopher-style repetition ratios: a degenerate all-same-token doc
+    maxes out every ratio; an all-unique doc zeroes the token/trigram
+    ratios; ratios live in [0, 1]."""
+    from youtube_api_batch_process_with_analytics_spark.operators.text_analysis import (
+        doc_repetition_stats,
+    )
+
+    rows = [
+        (1, "spam " * 50, "en", "web", 100),
+        (2, " ".join(f"w{i}" for i in range(50)), "en", "web", 100),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in doc_repetition_stats(spark, str(tmp_path)).collect()}
+    spam, uniq = got[1], got[2]
+    assert spam.token_dup_ratio == 0.98  # 1 - 1/50
+    assert spam.trigram_dup_ratio > 0.97
+    assert spam.mode_token_share == 1.0
+    assert uniq.token_dup_ratio == 0.0
+    assert uniq.trigram_dup_ratio == 0.0
+    assert uniq.mode_token_share == 0.02  # 1/50

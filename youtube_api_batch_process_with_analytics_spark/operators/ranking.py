@@ -15,14 +15,16 @@ Scale shape (the part that matters at 100 TB):
 - document frequency is an agg **of the tf aggregate** (``groupBy(term)``
   on already-deduplicated doc-term pairs) — never a ``COUNT(DISTINCT)``
   expand over raw token occurrences.
-- the tf ⋈ df join shuffles on ``term``; hot terms (stopwords) are
-  exactly the AQE skew-join case, and the df side is vocabulary-sized
-  (millions of rows at worst), not corpus-sized.
-- BM25 query scoring filters the tf table to the query's terms FIRST
-  (predicate on the shuffle key), so the join touches a vanishing
-  fraction of the posting lists; per-doc term scores combine via
-  conditional aggregation in a fixed literal order so float addition
-  stays deterministic across engines and partitionings.
+- the tf ⋈ df join shuffles on ``term``; hot terms (stopwords) are the
+  canonical skew — and AQE's skew split provably never fires on
+  aggregate-fed join inputs (see ``_with_corpus_stats``), so these joins
+  are explicitly salted. The df side is vocabulary-sized (millions of
+  rows at worst), not corpus-sized.
+- BM25 over a FIXED query set skips the posting-list join entirely:
+  per-term map-side array counters + one broadcast scalar aggregate
+  (see ``bm25_search``); per-doc term scores add in a fixed literal
+  order so float addition stays deterministic across engines and
+  partitionings.
 
 IDF here is the Robertson–Spärck-Jones odds core ``(N - df + 0.5) /
 (df + 0.5)`` **without the log**: log is a monotone transform, so
@@ -259,8 +261,8 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: bigram/left-word stats are ONE shuffle each with
     map-side partials; ``V`` is the row count of the stats table (an
     agg-of-agg, never a distinct-expand over occurrences); the
-    occurrence ⋈ stats joins shuffle on the bigram/word keys (AQE skew
-    handles hot function words). The per-doc sum folds over the
+    occurrence ⋈ stats joins shuffle on the bigram/word keys, salted
+    against hot function words. The per-doc sum folds over the
     document-order array (``F.aggregate`` ↔ DuckDB ``list_reduce``) —
     identical operation order, so doubles match bitwise.
     """

@@ -392,8 +392,74 @@ ORDER BY doc_id
 """
 
 
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filters (the Gopher-rules quality family): per document,
+    duplicate-token and duplicate-trigram ratios plus the modal token's
+    frequency share. High values flag boilerplate, keyword stuffing, and
+    degenerate generations — the standard cheap pre-LM corpus gate.
+
+    Everything is per-document array lambdas inside whole-stage codegen —
+    map-only, zero shuffles, no UDFs. The modal-token share uses
+    ``array_max(transform(distinct, t -> count in toks))``: O(distinct·n)
+    per doc, bounded by document length, embarrassingly parallel.
+    DuckDB's ``list_*`` functions mirror each expression exactly.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    n = F.size("toks").cast("long")
+    trigrams = F.expr(
+        "transform(sequence(0, size(toks) - 3),"
+        " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))"
+    )
+    mode_cnt = F.expr(
+        "array_max(transform(array_distinct(toks),"
+        " t -> size(filter(toks, x -> x = t))))"
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(1.0 - F.size(F.array_distinct("toks")) / n, 6).alias(
+            "token_dup_ratio"
+        ),
+        F.round(
+            1.0 - F.size(F.array_distinct(trigrams)) / F.size(trigrams), 6
+        ).alias("trigram_dup_ratio"),
+        F.round(mode_cnt / n, 6).alias("mode_token_share"),
+    )
+
+
+ORACLE_DOC_REPETITION_STATS = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+d AS (SELECT * FROM t WHERE len(toks) >= 3),
+g AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+         [toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+          FOR i IN range(1, len(toks) - 1)] AS trigrams
+  FROM d
+)
+SELECT doc_id,
+       n AS n_tokens,
+       ROUND(1.0 - len(list_distinct(toks)) / n, 6) AS token_dup_ratio,
+       ROUND(1.0 - len(list_distinct(trigrams)) / len(trigrams), 6)
+         AS trigram_dup_ratio,
+       ROUND(CAST(list_max(list_transform(list_distinct(toks),
+               t -> len(list_filter(toks, x -> x = t)))) AS BIGINT) / n, 6)
+         AS mode_token_share
+FROM g ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "corpus_curation_funnel": corpus_curation_funnel,
+    "doc_repetition_stats": doc_repetition_stats,
     "doc_text_stats": doc_text_stats,
     "language_id": language_id,
     "doc_fingerprint": doc_fingerprint,
@@ -402,6 +468,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_curation_funnel": ORACLE_CORPUS_CURATION_FUNNEL,
+    "doc_repetition_stats": ORACLE_DOC_REPETITION_STATS,
     "doc_text_stats": ORACLE_DOC_TEXT_STATS,
     "language_id": ORACLE_LANGUAGE_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
