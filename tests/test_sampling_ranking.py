@@ -304,3 +304,25 @@ def test_repetition_stats_flag_degenerate_docs(spark, tmp_path):
     assert uniq.token_dup_ratio == 0.0
     assert uniq.trigram_dup_ratio == 0.0
     assert uniq.mode_token_share == 0.02  # 1/50
+
+
+def test_ranking_ops_tolerate_null_text(spark, tmp_path):
+    """NULL text must behave as zero tokens everywhere (coalesce at the
+    tokenizer), never as size(NULL) = -1 poisoning dl/avgdl or dropping
+    into NULL scores."""
+    rows = [
+        (1, "spark hash window spark", "en", "web", 100),
+        (2, None, "en", "web", 0),
+        (3, "plain words here", "en", "web", 100),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    top = rk.tfidf_top_terms(spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in top} == {1, 3}  # null doc yields no terms
+    hits = rk.bm25_search(spark, str(tmp_path)).collect()
+    assert [r.doc_id for r in hits] == [1] and all(
+        r.score > 0 for r in hits
+    )  # avgdl counted the null doc as dl=0, not -1
+    lm = rk.bigram_lm_quality(spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in lm} == {1, 3}

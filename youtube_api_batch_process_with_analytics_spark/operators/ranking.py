@@ -50,8 +50,12 @@ BM25_TOP_K = 20
 
 
 def _tokens():
+    # coalesce first: NULL text must mean zero tokens, not NULL arrays
+    # (size(NULL) = -1 with ANSI off would poison dl/avgdl). Oracles
+    # mirror with coalesce(text, '').
     return F.filter(
-        F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE), lambda t: t != ""
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), TOKEN_SPLIT_RE),
+        lambda t: t != "",
     )
 
 
@@ -117,7 +121,7 @@ ORACLE_TFIDF_TOP_TERMS = f"""
 WITH toks AS (
   SELECT doc_id,
          unnest(list_filter(
-           regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+           regexp_split_to_array(lower(coalesce(text, '')), '{TOKEN_SPLIT_RE}'),
            t -> t <> '')) AS term
   FROM documents
 ),
@@ -211,14 +215,14 @@ def _oracle_bm25() -> str:
 WITH toks AS (
   SELECT doc_id,
          unnest(list_filter(
-           regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+           regexp_split_to_array(lower(coalesce(text, '')), '{TOKEN_SPLIT_RE}'),
            t -> t <> '')) AS term
   FROM documents
 ),
 alltf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
 lens AS (SELECT doc_id,
                 CAST(len(list_filter(
-                  regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                  regexp_split_to_array(lower(coalesce(text, '')), '{TOKEN_SPLIT_RE}'),
                   t -> t <> '')) AS BIGINT) AS dl
          FROM documents),
 avgd AS (SELECT CAST(SUM(dl) AS BIGINT) / COUNT(*) AS avgdl FROM lens),
@@ -322,7 +326,7 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_BIGRAM_LM_QUALITY = f"""
 WITH toked AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '{TOKEN_SPLIT_RE}'),
                      t -> t <> '') AS toks
   FROM documents
 ),

@@ -94,7 +94,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         _hash_key(STRAT_SALT, F.col("doc_id")).alias("strat_key"),
-        (F.col("doc_id") % STRAT_SALT_BUCKETS).alias("_salt"),
+        F.pmod(F.col("doc_id"), F.lit(STRAT_SALT_BUCKETS)).alias("_salt"),
     ).join(F.broadcast(counts), "lang")
 
     order = [F.col("strat_key").asc(), F.col("doc_id").asc()]

@@ -434,7 +434,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DOC_REPETITION_STATS = """
 WITH t AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
                      x -> x <> '') AS toks
   FROM documents
 ),
