@@ -103,8 +103,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     benchmark_contamination (same shingle posting-list machinery),
 #     displaced by bigram_lm_quality;
 #   log_level_stats → A8 family via log_page + recent_level_stats'
-#     r3 attestation, displaced by doc_repetition_stats.
+#     r3 attestation, displaced by doc_repetition_stats;
+#   daily_event_pivot → grouping family via revenue_rollup (ROLLUP +
+#     grouping_id, r1-r3 green), displaced by winnowing_fingerprints.
 _GATE_TAIL = [
+    "daily_event_pivot",
     "log_level_stats",
     "ngram_jaccard_pairs",
     "set_ops_user_cohorts",

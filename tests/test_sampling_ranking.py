@@ -326,3 +326,47 @@ def test_ranking_ops_tolerate_null_text(spark, tmp_path):
     )  # avgdl counted the null doc as dl=0, not -1
     lm = rk.bigram_lm_quality(spark, str(tmp_path)).collect()
     assert {r.doc_id for r in lm} == {1, 3}
+
+
+def test_winnowing_shared_substring_shares_fingerprint(spark, tmp_path):
+    """The winnowing guarantee: any common substring of length >= k+w-1
+    chars must produce at least one common selected fingerprint between
+    the two documents; disjoint texts share none."""
+    from youtube_api_batch_process_with_analytics_spark.operators.text_analysis import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again"
+    assert len(shared) >= WINNOW_K + WINNOW_W - 1
+    rows = [
+        (1, "prefix one " + shared + " suffix alpha", "en", "web", 100),
+        (2, "totally different lead " + shared + " tail omega", "en", "web", 100),
+        (3, "zz qq xx vv kk jj ww yy uu ii oo pp mm nn bb cc dd", "en", "web", 100),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    # Python model of the same normalization + winnowing selection
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fps = {}
+    for r in docs.select("doc_id", norm.alias("norm")).collect():
+        hs = []
+        s = r.norm
+        import hashlib
+
+        for i in range(len(s) - WINNOW_K + 1):
+            hs.append(hashlib.md5(s[i : i + WINNOW_K].encode()).hexdigest())
+        mins = {
+            min(hs[j : j + WINNOW_W]) for j in range(len(hs) - WINNOW_W + 1)
+        }
+        fps[r.doc_id] = mins
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # and the gated summary agrees with the Python model per doc
+    got = {r.doc_id: r for r in winnowing_fingerprints(spark, str(tmp_path)).collect()}
+    for d, mins in fps.items():
+        assert got[d].n_fingerprints == len(mins)
+        assert got[d].fp_min == min(mins) and got[d].fp_max == max(mins)

@@ -457,9 +457,81 @@ FROM g ORDER BY doc_id
 """
 
 
+WINNOW_K = 8  # char k-gram width
+WINNOW_W = 4  # winnowing window (guarantee: any match ≥ k+w-1 chars shares a fingerprint)
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (the MOSS scheme): hash every char
+    k-gram of the normalized text, then keep the minimum hash of each
+    sliding window of w consecutive k-gram hashes. The selected set is
+    position-robust — any substring match of length ≥ k+w-1 between two
+    documents is guaranteed to share a fingerprint — which is what makes
+    it the standard rolling-hash fingerprint for partial-overlap/plagiarism
+    detection, complementing ``doc_fingerprint``'s whole-content hash.
+
+    Map-only array lambdas per document (no shuffle, no UDF); md5-hex
+    min is taken lexicographically, identical across engines. Emitted as
+    per-doc summary (count + min/max fingerprint) so the gate row stays
+    compact; the exploded (doc_id, fingerprint) posting table is the same
+    expression followed by ``explode``.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    norm = F.lower(
+        F.regexp_replace(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")
+    )
+    d = docs.select("doc_id", norm.alias("norm")).filter(
+        F.length("norm") >= WINNOW_K + WINNOW_W - 1
+    )
+    kgram_hashes = F.expr(
+        f"transform(sequence(1, length(norm) - {WINNOW_K} + 1),"
+        f" i -> md5(substring(norm, i, {WINNOW_K})))"
+    )
+    h = d.select("doc_id", kgram_hashes.alias("h"))
+    mins = F.expr(
+        f"transform(sequence(1, size(h) - {WINNOW_W} + 1),"
+        f" j -> array_min(slice(h, j, {WINNOW_W})))"
+    )
+    return h.select(
+        "doc_id",
+        F.size("h").cast("long").alias("n_kgrams"),
+        F.size(F.array_distinct(mins)).cast("long").alias("n_fingerprints"),
+        F.array_min(mins).alias("fp_min"),
+        F.array_max(mins).alias("fp_max"),
+    )
+
+
+ORACLE_WINNOWING_FINGERPRINTS = f"""
+WITH d AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g'))
+           AS norm
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         [md5(substr(norm, i, {WINNOW_K}))
+          FOR i IN range(1, length(norm) - {WINNOW_K} + 2)] AS h
+  FROM d WHERE length(norm) >= {WINNOW_K} + {WINNOW_W} - 1
+),
+m AS (
+  SELECT doc_id, CAST(len(h) AS BIGINT) AS n_kgrams,
+         [list_min(list_slice(h, j, j + {WINNOW_W} - 1))
+          FOR j IN range(1, len(h) - {WINNOW_W} + 2)] AS mins
+  FROM g
+)
+SELECT doc_id, n_kgrams,
+       CAST(len(list_distinct(mins)) AS BIGINT) AS n_fingerprints,
+       list_min(mins) AS fp_min,
+       list_max(mins) AS fp_max
+FROM m ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "corpus_curation_funnel": corpus_curation_funnel,
     "doc_repetition_stats": doc_repetition_stats,
+    "winnowing_fingerprints": winnowing_fingerprints,
     "doc_text_stats": doc_text_stats,
     "language_id": language_id,
     "doc_fingerprint": doc_fingerprint,
@@ -469,6 +541,7 @@ QUERIES = {
 ORACLES = {
     "corpus_curation_funnel": ORACLE_CORPUS_CURATION_FUNNEL,
     "doc_repetition_stats": ORACLE_DOC_REPETITION_STATS,
+    "winnowing_fingerprints": ORACLE_WINNOWING_FINGERPRINTS,
     "doc_text_stats": ORACLE_DOC_TEXT_STATS,
     "language_id": ORACLE_LANGUAGE_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
