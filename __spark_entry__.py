@@ -74,7 +74,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # below is drawn from queries hash-green in CORRECTNESS_r03.json whose
 # operator family keeps at least one other gated query:
 #   pagination_meta/top_loggers/recent_level_stats/retention_cleanup →
-#     log family stays covered by log_page + log_level_stats;
+#     log family stays covered by log_page (log_level_stats later joined
+#     the tail too — see below — leaving log_page as the gated A8 anchor);
 #   channel_type_classification → A3 via video_type_distribution;
 #   final_metrics_struct/language_mode → channel family via
 #     channel_video_metrics + channel_format_flat;
