@@ -106,8 +106,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #   log_level_stats → A8 family via log_page + recent_level_stats'
 #     r3 attestation, displaced by doc_repetition_stats;
 #   daily_event_pivot → grouping family via revenue_rollup (ROLLUP +
-#     grouping_id, r1-r3 green), displaced by winnowing_fingerprints.
+#     grouping_id, r1-r3 green), displaced by winnowing_fingerprints;
+#   cache_status_rollup → A11/A14 via quota_latch_final +
+#     json_props_metrics (r1-r3 green), displaced by pq_codes.
 _GATE_TAIL = [
+    "cache_status_rollup",
     "daily_event_pivot",
     "log_level_stats",
     "ngram_jaccard_pairs",

@@ -172,3 +172,46 @@ def test_gate_kmeans_assignment_is_map_only(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1 and "RoundRobinPartitioning" in plan, plan
     assert "hashpartitioning" not in plan, plan
+
+
+def test_pq_adc_recall_and_code_validity(spark, sf_dir):
+    """PQ two-stage sanity: codes are in [0, PQ_K); ADC shortlist=100 +
+    exact rerank achieves recall@5 >= 0.5 against exact quantized-L2
+    (raw 12-bit ADC alone measures ~0.08 on this near-uniform fixture —
+    the rerank stage is what makes PQ a usable index)."""
+    import numpy as np
+
+    from youtube_api_batch_process_with_analytics_spark.operators.clustering import (
+        PQ_K,
+        PQ_M,
+        QUANT_SCALE,
+        pq_adc_topk,
+        pq_codes_query,
+    )
+    from youtube_api_batch_process_with_analytics_spark.sources import load_table
+
+    codes = pq_codes_query(spark, sf_dir).collect()
+    assert all(
+        0 <= getattr(r, f"code_{m}") < PQ_K for r in codes for m in range(PQ_M)
+    )
+
+    adc = pq_adc_topk(spark, sf_dir, top_k=5, stride=50, shortlist=100).collect()
+    got = {}
+    for r in adc:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    ids = np.array([r.vec_id for r in emb])
+    mat = np.rint(
+        np.array([r.embedding for r in emb], dtype=np.float64) * QUANT_SCALE
+    )
+    hits = total = 0
+    for q in sorted(got):
+        qi = np.where(ids == q)[0][0]
+        d = ((mat - mat[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        exact = set(ids[np.argsort(d, kind="stable")[:5]].tolist())
+        hits += len(got[q] & exact)
+        total += 5
+    recall = hits / total
+    assert recall >= 0.5, f"PQ/ADC+rerank recall too low: {recall:.2f}"

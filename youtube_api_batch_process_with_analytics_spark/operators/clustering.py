@@ -183,19 +183,23 @@ def _int_centroids(assigned: DataFrame) -> dict[int, tuple[list[int], int]]:
     }
 
 
-def _dist_sql(svec: list[int], n: int) -> str:
-    """SQL snippet: CAST(Σ(n·x − s)² AS DOUBLE) / n² over ``qvec``."""
+def _dist_sql(svec: list[int], n: int, col: str = "qvec") -> str:
+    """SQL snippet: CAST(Σ(n·x − s)² AS DOUBLE) / n² over ``col``."""
     arr = ",".join(str(int(v)) for v in svec)
     n = int(n)
     return (
-        f"CAST(aggregate(zip_with(qvec, array({arr}), "
+        f"CAST(aggregate(zip_with({col}, array({arr}), "
         f"(x, s) -> ({n} * x - s) * ({n} * x - s)), "
         f"CAST(0 AS BIGINT), (acc, d) -> acc + d) AS DOUBLE) "
         f"/ CAST({n * n} AS DOUBLE)"
     )
 
 
-def _int_assign_expr(cents: dict[int, tuple[list[int], int]], field: str = "cluster"):
+def _int_assign_expr(
+    cents: dict[int, tuple[list[int], int]],
+    field: str = "cluster",
+    col: str = "qvec",
+):
     """argmin_c  Σ(n_c·x − s_c)² / n_c²  as a map-only Column over qvec.
 
     Built as ONE SQL string handed to ``F.expr`` — the k×d literal matrix
@@ -205,7 +209,7 @@ def _int_assign_expr(cents: dict[int, tuple[list[int], int]], field: str = "clus
     round in a long-lived session) while producing the identical
     expression tree."""
     structs = ", ".join(
-        f"named_struct('d', {_dist_sql(*cents[c])}, '{field}', {int(c)})"
+        f"named_struct('d', {_dist_sql(*cents[c], col=col)}, '{field}', {int(c)})"
         for c in sorted(cents)
     )
     return F.expr(f"array_min(array({structs})).{field}")
@@ -287,25 +291,25 @@ a0 AS (SELECT vec_id, CAST(vec_id % {k} AS INTEGER) AS cluster FROM emb)"""
     return "".join(parts)
 
 
-def _oracle_round(r: int) -> str:
-    p = r - 1
+def _oracle_round(r: int, prefix: str = "") -> str:
+    p, x = r - 1, prefix
     return f""",
-s{r} AS (
+{x}s{r} AS (
   SELECT a.cluster, q.pos, SUM(q.x) AS s, COUNT(*) AS n
-  FROM qx q JOIN a{p} a USING (vec_id) GROUP BY a.cluster, q.pos
+  FROM {x}qx q JOIN {x}a{p} a USING (vec_id) GROUP BY a.cluster, q.pos
 ),
-d{r} AS (
+{x}d{r} AS (
   SELECT q.vec_id, s.cluster,
          CAST(SUM((s.n * q.x - s.s) * (s.n * q.x - s.s)) AS DOUBLE)
            / CAST(ANY_VALUE(s.n) * ANY_VALUE(s.n) AS DOUBLE) AS dist
-  FROM qx q JOIN s{r} s ON s.pos = q.pos
+  FROM {x}qx q JOIN {x}s{r} s ON s.pos = q.pos
   GROUP BY q.vec_id, s.cluster
 ),
-a{r} AS (
+{x}a{r} AS (
   SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
     SELECT vec_id, cluster,
            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-    FROM d{r}
+    FROM {x}d{r}
   ) WHERE rn = 1
 )"""
 
@@ -452,12 +456,220 @@ ORDER BY query_id, rank"""
     return "".join(head)
 
 
+# --- product quantization (PQ) -------------------------------------------
+#
+# The memory-bound ANN scale path: at 100 TB of embeddings the vectors
+# themselves no longer fit hot storage; PQ stores each vector as M small
+# codes (here 4×3 bits) against per-subspace codebooks, and ADC search
+# scores candidates from an M×k lookup table without touching raw vectors.
+# Codebooks are per-subspace integer-exact Lloyd (the same machinery and
+# determinism argument as kmeans_cells, run on 16-dim slices), so the code
+# assignment is bit-reproducible and gate-verifiable against a generated
+# DuckDB oracle. The ADC distance path is NumPy-differential tested
+# (tests/test_clustering.py) — recall vs exact search, the metric that
+# matters for a lossy index.
+
+PQ_M = 4  # subspaces
+PQ_K = 8  # codes per subspace
+PQ_ITERS = 2
+PQ_DIM = 64  # embeddings fixture dimension; subspace width = PQ_DIM // PQ_M
+
+_PQ_MODEL_CACHE: dict[tuple, list] = {}
+
+
+def _pq_fit(spark: SparkSession, sf_dir: str) -> list[dict[int, tuple[list[int], int]]]:
+    """Per-subspace exact-rational codebooks, memoized per session (the
+    fitted-model contract, as for the k-means cache)."""
+    key = (spark.sparkContext.applicationId, sf_dir, PQ_M, PQ_K, PQ_ITERS)
+    with _KMEANS_CACHE_LOCK:
+        hit = _PQ_MODEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    width = PQ_DIM // PQ_M
+    emb = _quantized(spark, sf_dir)
+    books = []
+    for m in range(PQ_M):
+        sub = emb.select(
+            "vec_id", F.slice("qvec", m * width + 1, width).alias("qvec")
+        ).persist()
+        try:
+            assigned = sub.withColumn(
+                "cluster", (F.col("vec_id") % PQ_K).cast("int")
+            )
+            cents: dict[int, tuple[list[int], int]] = {}
+            for _ in range(PQ_ITERS):
+                cents = _int_centroids(assigned)
+                assigned = sub.withColumn("cluster", _int_assign_expr(cents))
+            books.append(cents)
+        finally:
+            sub.unpersist()
+    with _KMEANS_CACHE_LOCK:
+        _PQ_MODEL_CACHE[key] = books
+    return books
+
+
+def pq_codes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated PQ encoding: per vector, the M argmin codes against the
+    per-subspace codebooks — a single map-only pass once the codebooks
+    are fitted (they enter as literals, like Spark ML model application)."""
+    books = _pq_fit(spark, sf_dir)
+    width = PQ_DIM // PQ_M
+    emb = _quantized(spark, sf_dir)
+    out = emb
+    for m, cents in enumerate(books):
+        out = out.withColumn(f"_sub{m}", F.slice("qvec", m * width + 1, width))
+        out = out.withColumn(
+            f"code_{m}",
+            _int_assign_expr(cents, field="code", col=f"_sub{m}"),
+        )
+    return out.select(
+        "vec_id", *[F.col(f"code_{m}") for m in range(PQ_M)]
+    )
+
+
+def oracle_pq_codes(
+    m_sub: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = PQ_ITERS,
+    dim: int = PQ_DIM,
+    scale: int = QUANT_SCALE,
+) -> str:
+    width = dim // m_sub
+    parts = [
+        f"""WITH emb AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qvec
+  FROM embeddings
+),
+allqx AS (
+  SELECT vec_id, generate_subscripts(qvec, 1) AS pos, unnest(qvec) AS x
+  FROM emb
+)"""
+    ]
+    for m in range(m_sub):
+        off = m * width
+        parts.append(
+            f""",
+m{m}qx AS (
+  SELECT vec_id, pos - {off} AS pos, x FROM allqx
+  WHERE pos > {off} AND pos <= {off + width}
+),
+m{m}a0 AS (SELECT vec_id, CAST(vec_id % {k} AS INTEGER) AS cluster FROM emb)"""
+        )
+        for r in range(1, n_iter + 1):
+            parts.append(_oracle_round(r, prefix=f"m{m}"))
+    selects = ", ".join(
+        f"m{m}a{n_iter}.cluster AS code_{m}" for m in range(m_sub)
+    )
+    joins = " ".join(
+        f"JOIN m{m}a{n_iter} ON m{m}a{n_iter}.vec_id = emb.vec_id"
+        for m in range(m_sub)
+    )
+    parts.append(
+        f"\nSELECT emb.vec_id, {selects} FROM emb {joins} ORDER BY emb.vec_id"
+    )
+    return "".join(parts)
+
+
+def pq_adc_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    top_k: int = 5,
+    stride: int = 50,
+    shortlist: int = 100,
+) -> DataFrame:
+    """Two-stage PQ search, the production serving shape:
+
+    1. **ADC shortlist** — each query scores every candidate as
+       Σ_m dist(query_sub_m, centroid[code_m]), an M-term lookup against
+       the query's per-subspace distance table; only the code table is
+       touched, never raw vectors. Keep the best ``shortlist`` ids.
+    2. **Exact rerank** — fetch raw (quantized) vectors for the shortlist
+       only and rank by exact L2. At 100 TB this is the whole point: the
+       code table is ~2 orders of magnitude smaller than the embeddings,
+       so stage 1 streams cheap and stage 2 touches ``shortlist`` rows
+       per query instead of the corpus.
+
+    ADC alone cannot resolve near-uniform high-dim data (12-bit codes vs
+    64 dims) — measured recall@5 on the fixture: 0.08 raw ADC vs 0.66
+    with rerank at shortlist=100. NumPy-differential tested for recall;
+    not gated (a lossy index ranking has no exact SQL twin)."""
+    books = _pq_fit(spark, sf_dir)
+    width = PQ_DIM // PQ_M
+    codes = pq_codes_query(spark, sf_dir)
+    emb = _quantized(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec")
+    )
+    for m, cents in enumerate(books):
+        queries = queries.withColumn(
+            f"_q{m}", F.slice("q_qvec", m * width + 1, width)
+        )
+        # per-query literal distance table: dist to every centroid of
+        # subspace m, exact rational form — M×k doubles per query row
+        tbl = F.array(
+            *[
+                F.expr(_dist_sql(*cents[c], col=f"_q{m}"))
+                for c in sorted(cents)
+            ]
+        )
+        queries = queries.withColumn(f"_dt{m}", tbl)
+    pairs = F.broadcast(
+        queries.select(
+            "query_id", "q_qvec", *[F.col(f"_dt{m}") for m in range(PQ_M)]
+        )
+    ).crossJoin(codes.withColumnRenamed("vec_id", "neighbor_id")).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = None
+    for m in range(PQ_M):
+        term = F.element_at(F.col(f"_dt{m}"), F.col(f"code_{m}") + 1)
+        adc = term if adc is None else adc + term
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        pairs.withColumn("adc_dist", adc)
+        .withColumn("_adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("_adc_rank") <= shortlist)
+        .select("query_id", "q_qvec", "neighbor_id", "adc_dist")
+    )
+    # stage 2: exact quantized-L2 on the shortlist only
+    reranked = short.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("qvec").alias("n_qvec"),
+        ),
+        "neighbor_id",
+    ).withColumn(
+        "exact_dist",
+        F.aggregate(
+            F.zip_with(
+                "q_qvec", "n_qvec", lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "rank", "neighbor_id", "exact_dist", "adc_dist")
+    )
+
+
 QUERIES = {
     "kmeans_cells": kmeans_cells_query,
     "ann_ivf_kmeans": ann_ivf_kmeans,
+    "pq_codes": pq_codes_query,
 }
 
 ORACLES = {
     "kmeans_cells": oracle_kmeans_cells(),
     "ann_ivf_kmeans": oracle_ann_ivf_kmeans(),
+    "pq_codes": oracle_pq_codes(),
 }
