@@ -108,8 +108,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #   daily_event_pivot → grouping family via revenue_rollup (ROLLUP +
 #     grouping_id, r1-r3 green), displaced by winnowing_fingerprints;
 #   cache_status_rollup → A11/A14 via quota_latch_final +
-#     json_props_metrics (r1-r3 green), displaced by pq_codes.
+#     json_props_metrics (r1-r3 green), displaced by pq_codes;
+#   key_rotation_round_robin → ST4 via key_rotation_least_used
+#     (r1-r3 green), displaced by curation_pipeline_v2.
 _GATE_TAIL = [
+    "key_rotation_round_robin",
     "cache_status_rollup",
     "daily_event_pivot",
     "log_level_stats",

@@ -528,8 +528,144 @@ FROM m ORDER BY doc_id
 """
 
 
+FUNNEL2_SAMPLE_THRESHOLD = "40000000"  # 25% hash sample (sampling.py)
+FUNNEL2_LM_MIN = 0.0344  # ~corpus median bigram-LM score
+FUNNEL2_MODE_SHARE_MAX = 0.09  # ~corpus median modal-token share
+
+
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation with the statistical quality stack, one query:
+    deterministic hash sample → bigram-LM + repetition quality gate →
+    exact-dedup survivorship, with per-source funnel counts.
+
+    Composes the gated operators: ``sampling.sample_corpus_hash``'s
+    bucket, ``ranking.bigram_lm_quality``'s corpus-statistics score
+    (stats fitted on the FULL corpus, gate applied after — the standard
+    order, since a filter that feeds its own statistics drifts),
+    ``doc_repetition_stats``' modal-token share, and ``dedup_exact``'s
+    first-occurrence rule scoped to quality survivors. Stage counts are
+    conditional sums in one aggregation; the only corpus-order shuffle
+    beyond the LM stats is the dedup fingerprint window.
+    """
+    from .ranking import bigram_lm_quality
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    mode_share = F.round(
+        F.expr(
+            "array_max(transform(array_distinct(toks),"
+            " t -> size(filter(toks, x -> x = t))))"
+        ).cast("long")
+        / F.size("toks"),
+        6,
+    )
+    base = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
+            F.substring(
+                F.md5(F.concat(F.lit("s42:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ).alias("bucket"),
+            toks.alias("toks"),
+        )
+        .withColumn("mode_share", mode_share)
+        .join(
+            bigram_lm_quality(spark, sf_dir).select("doc_id", "lm_score"),
+            "doc_id",
+            "left",
+        )
+    )
+    flagged = base.select(
+        "doc_id",
+        "source",
+        "fp",
+        (F.col("bucket") < FUNNEL2_SAMPLE_THRESHOLD).alias("sampled"),
+        (
+            (F.col("bucket") < FUNNEL2_SAMPLE_THRESHOLD)
+            & (F.coalesce(F.col("lm_score"), F.lit(-1.0)) >= FUNNEL2_LM_MIN)
+            & (F.col("mode_share") <= FUNNEL2_MODE_SHARE_MAX)
+        ).alias("quality"),
+    )
+    surv = (
+        flagged.filter(F.col("quality"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.lit(True).alias("survivor"))
+    )
+    return (
+        flagged.join(surv, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("sampled").cast("long")).alias("n_sampled"),
+            F.sum(F.col("quality").cast("long")).alias("n_quality"),
+            F.sum(F.coalesce(F.col("survivor"), F.lit(False)).cast("long")).alias(
+                "n_survivors"
+            ),
+        )
+    )
+
+
+def _oracle_curation_pipeline_v2() -> str:
+    from .ranking import ORACLE_BIGRAM_LM_QUALITY
+
+    return f"""
+WITH lmq AS (
+  SELECT doc_id, lm_score FROM ({ORACLE_BIGRAM_LM_QUALITY})
+),
+base AS (
+  SELECT d.doc_id, d.source,
+         md5(coalesce(d.text, '')) AS fp,
+         substr(md5('s42:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS bucket,
+         list_filter(regexp_split_to_array(lower(coalesce(d.text, '')),
+                     '[^a-z0-9]+'), x -> x <> '') AS toks,
+         lmq.lm_score
+  FROM documents d LEFT JOIN lmq ON lmq.doc_id = d.doc_id
+),
+flagged AS (
+  SELECT doc_id, source, fp,
+         bucket < '{FUNNEL2_SAMPLE_THRESHOLD}' AS sampled,
+         bucket < '{FUNNEL2_SAMPLE_THRESHOLD}'
+           AND coalesce(lm_score, -1.0) >= {FUNNEL2_LM_MIN}
+           AND ROUND(CAST(list_max(list_transform(list_distinct(toks),
+                 t -> len(list_filter(toks, x -> x = t)))) AS BIGINT)
+                 / len(toks), 6) <= {FUNNEL2_MODE_SHARE_MAX} AS quality
+  FROM base
+),
+surv AS (
+  SELECT doc_id, TRUE AS survivor FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (
+      PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM flagged WHERE quality
+  ) WHERE rn = 1
+)
+SELECT f.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN f.sampled THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled,
+       CAST(SUM(CASE WHEN f.quality THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality,
+       CAST(SUM(CASE WHEN coalesce(s.survivor, FALSE) THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_survivors
+FROM flagged f LEFT JOIN surv s ON s.doc_id = f.doc_id
+GROUP BY f.source ORDER BY f.source
+"""
+
+
 QUERIES = {
     "corpus_curation_funnel": corpus_curation_funnel,
+    "curation_pipeline_v2": curation_pipeline_v2,
     "doc_repetition_stats": doc_repetition_stats,
     "winnowing_fingerprints": winnowing_fingerprints,
     "doc_text_stats": doc_text_stats,
@@ -540,6 +676,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_curation_funnel": ORACLE_CORPUS_CURATION_FUNNEL,
+    "curation_pipeline_v2": _oracle_curation_pipeline_v2(),
     "doc_repetition_stats": ORACLE_DOC_REPETITION_STATS,
     "winnowing_fingerprints": ORACLE_WINNOWING_FINGERPRINTS,
     "doc_text_stats": ORACLE_DOC_TEXT_STATS,
