@@ -370,3 +370,54 @@ def test_winnowing_shared_substring_shares_fingerprint(spark, tmp_path):
     for d, mins in fps.items():
         assert got[d].n_fingerprints == len(mins)
         assert got[d].fp_min == min(mins) and got[d].fp_max == max(mins)
+
+
+def test_aqe_skew_split_does_not_fire_on_agg_fed_join(spark):
+    """Canary for the documented claim (README/skew.py): AQE's
+    OptimizeSkewedJoin never fires when a join input derives from an
+    aggregate, even with forced thresholds — the reason the tf ⋈ df
+    joins salt explicitly. If a Spark upgrade makes this split (the
+    assertion fails), revisit the salting docs and consider dropping the
+    manual salt. Contrast test_scale_plans.py's LSH test, where the same
+    configs DO split a scan-fed join."""
+    import random
+
+    rng = random.Random(3)
+    data = [
+        (i, "hot" if i % 2 == 0 else "c" + str(rng.randint(0, 2000)))
+        for i in range(20000)
+    ]
+    base = spark.createDataFrame(data, "doc_id long, term string")
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tf = base.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+        j = tf.join(dfreq, "term")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in plan, (
+            "AQE now splits aggregate-fed joins — update the salting "
+            "rationale in operators/skew.py, ranking.py, and README"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

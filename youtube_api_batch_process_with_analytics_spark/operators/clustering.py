@@ -606,12 +606,17 @@ def pq_adc_topk(
         queries = queries.withColumn(
             f"_q{m}", F.slice("q_qvec", m * width + 1, width)
         )
-        # per-query literal distance table: dist to every centroid of
-        # subspace m, exact rational form — M×k doubles per query row
+        # per-query literal distance table, indexed BY CLUSTER ID (slot
+        # c+1 = centroid c): codes are cluster ids, and a cluster that
+        # emptied during fitting must keep its slot (as +inf — no code
+        # can reference it, but positional compaction would silently
+        # shift every later lookup).
         tbl = F.array(
             *[
                 F.expr(_dist_sql(*cents[c], col=f"_q{m}"))
-                for c in sorted(cents)
+                if c in cents
+                else F.lit(float("inf"))
+                for c in range(PQ_K)
             ]
         )
         queries = queries.withColumn(f"_dt{m}", tbl)

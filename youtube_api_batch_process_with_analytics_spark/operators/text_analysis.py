@@ -392,6 +392,17 @@ ORDER BY doc_id
 """
 
 
+def _mode_token_share():
+    """round(modal-token count / n_tokens, 6) over a ``toks`` array column
+    — O(distinct·n) per document, shared by ``doc_repetition_stats`` and
+    ``curation_pipeline_v2``."""
+    mode_cnt = F.expr(
+        "array_max(transform(array_distinct(toks),"
+        " t -> size(filter(toks, x -> x = t))))"
+    ).cast("long")
+    return F.round(mode_cnt / F.size("toks").cast("long"), 6)
+
+
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition filters (the Gopher-rules quality family): per document,
     duplicate-token and duplicate-trigram ratios plus the modal token's
@@ -414,10 +425,6 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(0, size(toks) - 3),"
         " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))"
     )
-    mode_cnt = F.expr(
-        "array_max(transform(array_distinct(toks),"
-        " t -> size(filter(toks, x -> x = t))))"
-    ).cast("long")
     return d.select(
         "doc_id",
         n.alias("n_tokens"),
@@ -427,7 +434,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             1.0 - F.size(F.array_distinct(trigrams)) / F.size(trigrams), 6
         ).alias("trigram_dup_ratio"),
-        F.round(mode_cnt / n, 6).alias("mode_token_share"),
+        _mode_token_share().alias("mode_token_share"),
     )
 
 
@@ -528,7 +535,6 @@ FROM m ORDER BY doc_id
 """
 
 
-FUNNEL2_SAMPLE_THRESHOLD = "40000000"  # 25% hash sample (sampling.py)
 FUNNEL2_LM_MIN = 0.0344  # ~corpus median bigram-LM score
 FUNNEL2_MODE_SHARE_MAX = 0.09  # ~corpus median modal-token share
 
@@ -547,34 +553,32 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional sums in one aggregation; the only corpus-order shuffle
     beyond the LM stats is the dedup fingerprint window.
     """
-    from .ranking import bigram_lm_quality
+    from .ranking import TOKEN_SPLIT_RE, bigram_lm_quality
+    from .sampling import SAMPLE_SALT, SAMPLE_THRESHOLD
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"[^a-z0-9]+"),
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), TOKEN_SPLIT_RE),
         lambda t: t != "",
     )
-    mode_share = F.round(
-        F.expr(
-            "array_max(transform(array_distinct(toks),"
-            " t -> size(filter(toks, x -> x = t))))"
-        ).cast("long")
-        / F.size("toks"),
-        6,
-    )
+    sampled = F.col("bucket") < SAMPLE_THRESHOLD
     base = (
         docs.select(
             "doc_id",
             "source",
             F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
             F.substring(
-                F.md5(F.concat(F.lit("s42:"), F.col("doc_id").cast("string"))),
+                F.md5(
+                    F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))
+                ),
                 1,
                 8,
             ).alias("bucket"),
             toks.alias("toks"),
         )
-        .withColumn("mode_share", mode_share)
+        # modal-token share is O(distinct·n) per doc; only sampled rows
+        # can pass the quality conjunction, so skip the other 75%
+        .withColumn("mode_share", F.when(sampled, _mode_token_share()))
         .join(
             bigram_lm_quality(spark, sf_dir).select("doc_id", "lm_score"),
             "doc_id",
@@ -585,9 +589,9 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "fp",
-        (F.col("bucket") < FUNNEL2_SAMPLE_THRESHOLD).alias("sampled"),
+        sampled.alias("sampled"),
         (
-            (F.col("bucket") < FUNNEL2_SAMPLE_THRESHOLD)
+            sampled
             & (F.coalesce(F.col("lm_score"), F.lit(-1.0)) >= FUNNEL2_LM_MIN)
             & (F.col("mode_share") <= FUNNEL2_MODE_SHARE_MAX)
         ).alias("quality"),
@@ -618,7 +622,8 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_curation_pipeline_v2() -> str:
-    from .ranking import ORACLE_BIGRAM_LM_QUALITY
+    from .ranking import ORACLE_BIGRAM_LM_QUALITY, TOKEN_SPLIT_RE
+    from .sampling import SAMPLE_SALT, SAMPLE_THRESHOLD
 
     return f"""
 WITH lmq AS (
@@ -627,20 +632,23 @@ WITH lmq AS (
 base AS (
   SELECT d.doc_id, d.source,
          md5(coalesce(d.text, '')) AS fp,
-         substr(md5('s42:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS bucket,
+         substr(md5('{SAMPLE_SALT}' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+           AS bucket,
          list_filter(regexp_split_to_array(lower(coalesce(d.text, '')),
-                     '[^a-z0-9]+'), x -> x <> '') AS toks,
+                     '{TOKEN_SPLIT_RE}'), x -> x <> '') AS toks,
          lmq.lm_score
   FROM documents d LEFT JOIN lmq ON lmq.doc_id = d.doc_id
 ),
 flagged AS (
   SELECT doc_id, source, fp,
-         bucket < '{FUNNEL2_SAMPLE_THRESHOLD}' AS sampled,
-         bucket < '{FUNNEL2_SAMPLE_THRESHOLD}'
+         bucket < '{SAMPLE_THRESHOLD}' AS sampled,
+         bucket < '{SAMPLE_THRESHOLD}'
            AND coalesce(lm_score, -1.0) >= {FUNNEL2_LM_MIN}
-           AND ROUND(CAST(list_max(list_transform(list_distinct(toks),
-                 t -> len(list_filter(toks, x -> x = t)))) AS BIGINT)
-                 / len(toks), 6) <= {FUNNEL2_MODE_SHARE_MAX} AS quality
+           AND CASE WHEN bucket < '{SAMPLE_THRESHOLD}'
+                 THEN ROUND(CAST(list_max(list_transform(list_distinct(toks),
+                        t -> len(list_filter(toks, x -> x = t)))) AS BIGINT)
+                        / CAST(len(toks) AS BIGINT), 6)
+               END <= {FUNNEL2_MODE_SHARE_MAX} AS quality
   FROM base
 ),
 surv AS (
