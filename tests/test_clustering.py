@@ -215,3 +215,37 @@ def test_pq_adc_recall_and_code_validity(spark, sf_dir):
         total += 5
     recall = hits / total
     assert recall >= 0.5, f"PQ/ADC+rerank recall too low: {recall:.2f}"
+
+
+def test_pq_survives_empty_clusters(spark, tmp_path):
+    """With fewer distinct vectors than PQ_K codes, subspace clusters MUST
+    empty during fitting; codes must only reference populated clusters,
+    the ADC distance tables must stay cluster-id-aligned (an empty slot
+    is +inf, never a shifted lookup), and the two-stage search must still
+    return exact-reranked neighbors without error."""
+    from youtube_api_batch_process_with_analytics_spark.operators.clustering import (
+        PQ_DIM,
+        PQ_K,
+        PQ_M,
+        _pq_fit,
+        pq_adc_topk,
+        pq_codes_query,
+    )
+
+    # 4 distinct vectors replicated -> at most 4 populated clusters per subspace
+    base = [[float((v + 1) * (d % 7 + 1)) / 10.0 for d in range(PQ_DIM)] for v in range(4)]
+    rows = [(i, base[i % 4], i % 4) for i in range(200)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    books = _pq_fit(spark, str(tmp_path))
+    assert any(len(cents) < PQ_K for cents in books)  # clusters did empty
+    codes = pq_codes_query(spark, str(tmp_path)).collect()
+    for r in codes:
+        for m in range(PQ_M):
+            assert getattr(r, f"code_{m}") in books[m]
+    out = pq_adc_topk(spark, str(tmp_path), top_k=3, stride=50, shortlist=20).collect()
+    assert out
+    # identical replicas of the query vector must rerank to exact_dist 0
+    assert all(r.exact_dist == 0 for r in out if r.rank == 1)
