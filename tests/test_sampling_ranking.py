@@ -421,3 +421,75 @@ def test_aqe_skew_split_does_not_fire_on_agg_fed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_normalization_parity_spark_vs_duckdb(spark, duck):
+    """The trim + whitespace-collapse + lower normalization feeds both
+    fingerprint operators (doc_fingerprint, winnowing_fingerprints);
+    Spark's Java regexp_replace and DuckDB's RE2 'g'-flag replace must
+    agree bytewise over adversarial ASCII whitespace soup. Java's \\s
+    includes \\x0b, RE2's does NOT — this test found that divergence, so
+    every oracle now spells the class out as [\\t\\n\\x0b\\f\\r ] (the
+    exact Java set) instead of \\s."""
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = st.characters(
+        min_codepoint=32, max_codepoint=126, include_characters="\t\n\x0b\f\r"
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(st.text(alphabet=alphabet, max_size=40), min_size=1, max_size=16))
+    def check(texts):
+        sdf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i long, text string"
+        )
+        got = {
+            r.i: r.norm
+            for r in sdf.select(
+                "i",
+                F.lower(
+                    F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+                ).alias("norm"),
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            want = duck.execute(
+                r"SELECT lower(regexp_replace(trim(?),"
+                r" '[\t\n\x0b\f\r ]+', ' ', 'g'))",
+                [t],
+            ).fetchone()[0]
+            assert got[i] == want, (repr(t), repr(got[i]), repr(want))
+
+    check()
+
+
+def test_vertical_tab_documents_hash_match_oracle(spark, tmp_path):
+    """End-to-end pin of the Java-\\s vs RE2-\\s fix: documents containing
+    vertical tabs (\\x0b — in Java's \\s but not RE2's) must fingerprint
+    identically on both engines through the gated operator and its
+    oracle."""
+    import duckdb
+
+    from tests.oracle_utils import assert_oracle_match
+    from youtube_api_batch_process_with_analytics_spark.operators.text_analysis import (
+        ORACLES,
+        doc_fingerprint,
+    )
+
+    rows = [
+        (1, "alpha\x0bbeta  gamma", "en", "web", 20),
+        (2, "alpha beta gamma", "en", "web", 16),
+        (3, "\x0b\x0bonly vtabs\x0b", "en", "web", 12),
+    ]
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'")
+    assert_oracle_match(
+        doc_fingerprint(spark, str(tmp_path)), con, ORACLES["doc_fingerprint"]
+    )
+    # doc 1 and 2 normalize to the same content → same fingerprint
+    fps = {r.doc_id: r.fingerprint for r in doc_fingerprint(spark, str(tmp_path)).collect()}
+    assert fps[1] == fps[2]

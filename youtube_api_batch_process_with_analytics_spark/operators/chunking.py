@@ -94,7 +94,7 @@ def oracle_chunk_documents(
     stride = chunk_tokens - overlap
     return f"""
 WITH toks_t AS (
-  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks
+  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '[\\t\\n\\x0b\\f\\r ]+') AS toks
   FROM documents
 ),
 starts AS (
@@ -191,7 +191,7 @@ def oracle_pack_sequences(budget: int = PACK_BUDGET) -> str:
     return f"""
 WITH t AS (
   SELECT doc_id, source,
-         CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+         CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '[\\t\\n\\x0b\\f\\r ]+'))
               AS BIGINT) AS n_tokens
   FROM documents
 ),

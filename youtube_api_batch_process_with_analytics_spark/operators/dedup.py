@@ -45,7 +45,7 @@ _SHINGLES_FROM_TOKS_SPARK = (
     "ELSE array(concat_ws(' ', toks)) END)"
 )
 
-_TOKS_DUCK = "regexp_split_to_array(trim(text), '\\s+')"
+_TOKS_DUCK = "regexp_split_to_array(trim(text), '[\\t\\n\\x0b\\f\\r ]+')"
 _SHINGLES_FROM_TOKS_DUCK = (
     "list_distinct(CASE WHEN len(toks) >= 3 "
     "THEN list_transform(generate_series(1, len(toks) - 2), "
@@ -114,7 +114,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DEDUP_EXACT = """
 WITH h AS (
   SELECT doc_id,
-         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash
+         md5(lower(regexp_replace(trim(text), '[\\t\\n\\x0b\\f\\r ]+', ' ', 'g'))) AS content_hash
   FROM documents
 ),
 g AS (
@@ -306,7 +306,7 @@ def _duck_simhash_bits() -> str:
 ORACLE_DEDUP_SIMHASH = f"""
 WITH t AS (
   SELECT doc_id,
-         list_transform(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+         list_transform(list_distinct(regexp_split_to_array(trim(text), '[\\t\\n\\x0b\\f\\r ]+')),
                         t -> md5(t)) AS hashes
   FROM documents
 ),
@@ -785,7 +785,7 @@ def benchmark_contamination_query(spark: SparkSession, sf_dir: str) -> DataFrame
 
 ORACLE_BENCHMARK_CONTAMINATION = """
 WITH dt AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  SELECT doc_id, regexp_split_to_array(trim(text), '[\\t\\n\\x0b\\f\\r ]+') AS toks
   FROM documents
 ),
 ds AS (

@@ -91,7 +91,7 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DOC_TEXT_STATS = f"""
 WITH t AS (
   SELECT doc_id, text,
-         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         regexp_split_to_array(trim(text), '[\\t\\n\\x0b\\f\\r ]+') AS toks,
          LENGTH(text) AS n_chars_obs
   FROM documents
 ),
@@ -106,7 +106,7 @@ m AS (
          ROUND(CAST(len(list_filter(toks,
                  t -> list_contains({list(STOPWORDS)}, t))) AS BIGINT)
                / len(toks), 6) AS stopword_ratio,
-         ROUND(LENGTH(regexp_replace(text, '\\s+', '', 'g')) / len(toks), 6)
+         ROUND(LENGTH(regexp_replace(text, '[\\t\\n\\x0b\\f\\r ]+', '', 'g')) / len(toks), 6)
            AS avg_token_len
   FROM t
 )
@@ -161,7 +161,7 @@ def _duck_markers(lang: str) -> str:
 
 ORACLE_LANGUAGE_ID = f"""
 WITH t AS (
-  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '[\\t\\n\\x0b\\f\\r ]+') AS toks
   FROM documents
 ),
 s AS (
@@ -207,8 +207,8 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DOC_FINGERPRINT = """
 WITH n AS (
   SELECT doc_id,
-         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
-         LENGTH(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS nl
+         md5(lower(regexp_replace(trim(text), '[\\t\\n\\x0b\\f\\r ]+', ' ', 'g'))) AS fingerprint,
+         LENGTH(lower(regexp_replace(trim(text), '[\\t\\n\\x0b\\f\\r ]+', ' ', 'g'))) AS nl
   FROM documents
 )
 SELECT doc_id, fingerprint,
@@ -285,7 +285,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CORPUS_CURATION_FUNNEL = f"""
 WITH t AS (
   SELECT doc_id, text, lang, source,
-         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         regexp_split_to_array(trim(text), '[\\t\\n\\x0b\\f\\r ]+') AS toks,
          LENGTH(text) AS n_chars
   FROM documents
 ),
@@ -511,7 +511,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_WINNOWING_FINGERPRINTS = f"""
 WITH d AS (
   SELECT doc_id,
-         lower(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g'))
+         lower(regexp_replace(trim(coalesce(text, '')), '[\\t\\n\\x0b\\f\\r ]+', ' ', 'g'))
            AS norm
   FROM documents
 ),
