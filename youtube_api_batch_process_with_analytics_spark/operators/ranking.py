@@ -291,7 +291,14 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     cb = occ.groupBy("bigram").agg(F.count("*").alias("cb"))
-    cu = occ.groupBy("w1").agg(F.count("*").alias("cu"))
+    # left-word counts roll up FROM the bigram stats (vocabulary-sized
+    # input), not from the corpus-sized occurrence table again:
+    # c(w1·) = Σ c(w1,w2) — one fewer corpus shuffle, identical values
+    cu = (
+        cb.withColumn("w1", F.substring_index(F.col("bigram"), " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("cb").alias("cu"))
+    )
     vocab = cu.agg(F.count("*").alias("v"))
     # hot function-word bigrams skew both stats joins; AQE cannot split
     # aggregate-finalized join inputs (see _with_corpus_stats), so salt
