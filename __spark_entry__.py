@@ -29,6 +29,7 @@ from youtube_api_batch_process_with_analytics_spark.operators import (
     sampling as _sampling,
     scalar_surface as _scalar,
     sketches as _sketches,
+    spans as _spans,
     temporal_joins as _temporal,
     similarity as _similarity,
     text_analysis as _text,
@@ -41,6 +42,7 @@ _MODULES = [
     _windows,
     _text,
     _dedup,
+    _spans,
     _chunking,
     _clustering,
     _sampling,
@@ -111,7 +113,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #     json_props_metrics (r1-r3 green), displaced by pq_codes;
 #   key_rotation_round_robin → ST4 via key_rotation_least_used
 #     (r1-r3 green), displaced by curation_pipeline_v2.
+# Late-round-4 additions (duplicate_spans, mixture_temperature_sample,
+# global_shuffle_shards) enter the head; three more r3-hash-green,
+# family-covered queries move to the tail to hold the head at 50:
+#   json_props_metrics → A12/§2.8 via duration_parse (head this round) +
+#     approx_usage_sketch's exact side;
+#   user_sessions → sessionization r3-green; session_window also pinned
+#     by pytest;
+#   daily_usage_windows → ST2 via hourly_usage_windows (head this round)
+#     + quota_latch_final.
 _GATE_TAIL = [
+    "json_props_metrics",
+    "user_sessions",
+    "daily_usage_windows",
     "key_rotation_round_robin",
     "cache_status_rollup",
     "daily_event_pivot",

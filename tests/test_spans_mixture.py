@@ -1,0 +1,236 @@
+"""Unit + plan tests for duplicate-span detection, temperature-mixture
+sampling, and the global-shuffle shard planner.
+
+Oracle-differential coverage lives in tests/test_oracle_parity.py (full
+queries() dict); these pin what the hash compare cannot express — span
+merge semantics on constructed corpora, the rate cap and monotonicity of
+temperature sampling, shard density/determinism, and the real
+repartition+sortWithinPartitions write path the window-based gate query
+stands in for.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from youtube_api_batch_process_with_analytics_spark.operators import (
+    sampling as sp,
+)
+from youtube_api_batch_process_with_analytics_spark.operators.spans import (
+    SPAN_K,
+    duplicate_spans,
+)
+from youtube_api_batch_process_with_analytics_spark.sources import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- spans
+
+
+def test_spans_shared_region_single_span(spark):
+    """Two docs sharing one 12-token region, k=4: every window inside the
+    region duplicates, and all windows merge into one maximal span."""
+    shared = " ".join(f"tok{i}" for i in range(12))
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta " + shared + " gamma"),
+            (2, "one two three four five " + shared),
+            (3, "completely different words entirely here now"),
+        ],
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_dup_grams)
+        for r in duplicate_spans(docs, k=4).collect()
+    }
+    # doc 1: region starts at token 2; doc 2: at token 5. 12-token region,
+    # k=4 → 9 windows each, merging into one 12-token span.
+    assert got == {(1, 2, 13, 12, 9), (2, 5, 16, 12, 9)}
+
+
+def test_spans_within_doc_repeat_not_flagged(spark):
+    """A gram repeated only inside ONE document is not a cross-doc span
+    (min(doc)=max(doc) filters it)."""
+    rep = " ".join(f"w{i}" for i in range(6))
+    docs = _docs(
+        spark,
+        [(1, rep + " filler " + rep), (2, "unrelated text goes here now yes")],
+    )
+    assert duplicate_spans(docs, k=4).count() == 0
+
+
+def test_spans_disjoint_regions_stay_separate(spark):
+    """Two shared regions separated by more than k unique tokens must
+    yield two spans, not one merged span."""
+    a = " ".join(f"a{i}" for i in range(6))
+    b = " ".join(f"b{i}" for i in range(6))
+    gap = " ".join(f"gap{i}" for i in range(10))
+    docs = _docs(
+        spark,
+        [
+            (1, a + " " + gap + " " + b),
+            (2, a + " " + " ".join(f"x{i}" for i in range(8)) + " " + b),
+        ],
+    )
+    got = duplicate_spans(docs, k=4)
+    assert got.filter(F.col("doc_id") == 1).count() == 2
+    spans = sorted(
+        (r.span_start, r.span_end)
+        for r in got.filter(F.col("doc_id") == 1).collect()
+    )
+    assert spans == [(0, 5), (16, 21)]
+
+
+def test_spans_recall_floor_on_fixture(spark, sf_dir):
+    """Every near-dup pair found by exact dedup must surface spans: exact
+    duplicates share their full token stream, so any doc with an exact
+    twin and ≥ SPAN_K tokens must appear in duplicate_spans output."""
+    docs = load_table(spark, sf_dir, "documents")
+    twins = (
+        docs.groupBy(F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"))
+        .agg(
+            F.count("*").alias("n"),
+            F.collect_list("doc_id").alias("ids"),
+            F.min(F.size(F.split(F.lower(F.col("text")), "[^a-z0-9]+"))).alias(
+                "min_toks"
+            ),
+        )
+        .filter((F.col("n") > 1) & (F.col("min_toks") >= SPAN_K))
+    )
+    twin_ids = {i for r in twins.collect() for i in r.ids}
+    if not twin_ids:  # fixture-dependent; sf0.001 still has exact twins
+        return
+    flagged = {
+        r.doc_id
+        for r in duplicate_spans(docs).select("doc_id").distinct().collect()
+    }
+    assert twin_ids <= flagged
+
+
+# -------------------------------------------------------------- mixture
+
+
+def test_mixture_rate_cap_and_monotonicity(spark, sf_dir):
+    """Thresholds: capped at 2^32 when C/sqrt(n) ≥ 1, and monotonically
+    non-increasing in stratum size (bigger strata sample at lower rates —
+    the temperature-flattening property)."""
+    plan = {
+        r.lang: (r.n_docs, r.mix_threshold)
+        for r in sp.mixture_temperature_sample(spark, sf_dir)
+        .select("lang", "mix_threshold")
+        .join(
+            load_table(spark, sf_dir, "documents")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs")),
+            "lang",
+        )
+        .distinct()
+        .collect()
+    }
+    by_size = sorted(plan.values())
+    for (n1, t1), (n2, t2) in zip(by_size, by_size[1:]):
+        assert n1 <= n2 and t1 >= t2
+    for n, thr in plan.values():
+        want = min(1.0, sp.MIX_C / math.sqrt(n))
+        assert thr == math.floor(want * 4294967296.0)
+        if sp.MIX_C / math.sqrt(n) >= 1.0:
+            assert thr == 4294967296
+
+
+def test_mixture_capped_stratum_keeps_every_row(spark):
+    """A stratum small enough to hit the rate cap must keep ALL its rows —
+    the tail-language guarantee."""
+    docs = spark.createDataFrame(
+        [(i, "t", "tiny") for i in range(9)]
+        + [(100 + i, "t", "big") for i in range(50000)],
+        "doc_id long, text string, lang string",
+    )
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    plan = counts.select(
+        "lang",
+        F.floor(
+            F.least(F.lit(1.0), F.lit(sp.MIX_C) / F.sqrt(F.col("n_docs")))
+            * F.lit(4294967296.0)
+        )
+        .cast("long")
+        .alias("thr"),
+    )
+    drawn = docs.select(
+        "doc_id",
+        "lang",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(sp.MIX_SALT), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("draw"),
+    ).join(F.broadcast(plan), "lang")
+    kept = drawn.filter(F.col("draw") < F.col("thr"))
+    assert kept.filter(F.col("lang") == "tiny").count() == 9
+    big_kept = kept.filter(F.col("lang") == "big").count()
+    # big stratum rate = 12/sqrt(50000) ≈ 5.37% → binomial ±6σ
+    rate = sp.MIX_C / math.sqrt(50000)
+    sigma = math.sqrt(50000 * rate * (1 - rate))
+    assert abs(big_kept - rate * 50000) <= 6 * sigma
+
+
+# --------------------------------------------------------------- shards
+
+
+def test_shards_partition_the_corpus_densely(spark, sf_dir):
+    out = sp.global_shuffle_shards(spark, sf_dir)
+    docs_n = load_table(spark, sf_dir, "documents").count()
+    assert out.count() == docs_n
+    assert out.select("doc_id").distinct().count() == docs_n
+    # per-shard positions are dense 1..n_shard
+    per = out.groupBy("shard_id").agg(
+        F.count("*").alias("n"),
+        F.max("shard_pos").alias("mx"),
+        F.min("shard_pos").alias("mn"),
+        F.countDistinct("shard_pos").alias("d"),
+    )
+    for r in per.collect():
+        assert (r.mn, r.mx, r.d) == (1, r.n, r.n)
+
+
+def test_shards_write_path_roundtrip(spark, sf_dir, tmp_path):
+    """The production writer: ONE hash shuffle + per-partition sort, no
+    global rank. Written shards must agree with the window-based plan on
+    membership and relative order."""
+    out = sp.global_shuffle_shards(spark, sf_dir)
+    target = str(tmp_path / "shards")
+    (
+        out.select("doc_id", "shard_id", "shuffle_key")
+        .repartition(sp.N_SHARDS, "shard_id")
+        .sortWithinPartitions("shuffle_key", "doc_id")
+        .write.partitionBy("shard_id")
+        .mode("overwrite")
+        .parquet(target)
+    )
+    back = spark.read.parquet(target)
+    assert back.count() == out.count()
+    # within each written shard file set, reading preserves the sort per
+    # file; verify membership equality per shard against the planner
+    plan = {
+        (r.shard_id, r.doc_id) for r in out.select("shard_id", "doc_id").collect()
+    }
+    written = {
+        (r.shard_id, r.doc_id) for r in back.select("shard_id", "doc_id").collect()
+    }
+    assert plan == written
+
+
+def test_shards_deterministic_across_invocations(spark, sf_dir):
+    a = sp.global_shuffle_shards(spark, sf_dir).collect()
+    b = sp.global_shuffle_shards(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

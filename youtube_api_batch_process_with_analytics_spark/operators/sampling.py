@@ -133,12 +133,161 @@ ORDER BY lang, sample_rank
 """
 
 
+MIX_SALT = "mix42:"
+MIX_C = 12.0
+_HASH_SCALE = 4294967296.0  # 2^32: exact power-of-two scale on doubles
+
+# DuckDB-side hex→int (same fold as chunking.oracle_split_by_hash): DuckDB
+# has no conv(); fold the 8 hex nibbles explicitly.
+def _oracle_hex_int(expr: str) -> str:
+    return f"""list_reduce(
+           list_transform(
+             string_split_regex({expr}, ''),
+             c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+           ),
+           (a, x) -> a * 16 + x
+         )"""
+
+
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced language mixture (α = 0.5) over ``documents``.
+
+    Multilingual-LM sampling flattens the raw language distribution by
+    drawing stratum *i* with probability ∝ n_i^α (Conneau & Lample 2019,
+    XLM; Devlin 2019 multilingual BERT, both α ≈ 0.5–0.7). Selecting each
+    row with rate ``min(1, C / sqrt(n_i))`` realises exactly that: the
+    expected stratum sample is ``C·sqrt(n_i)`` — head languages are
+    down-sampled, tail languages kept (the cap) — without the global
+    normalisation sum, whose float addition order would differ between
+    engines.
+
+    Cross-engine determinism is by construction, not by rounding: sqrt and
+    division are IEEE correctly-rounded in both Spark and DuckDB, the 2^32
+    scale is an exact exponent shift, and floor/least are exact — so the
+    per-stratum integer threshold is bit-identical, and acceptance compares
+    integers, never floats. Each row decides its own fate from
+    ``md5(salt‖doc_id)`` inside whole-stage codegen on the scan; the only
+    shuffle is the 5-row stratum count, broadcast back. That is the shape
+    that survives 100 TB: one tiny agg + a map-only filter.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    plan = counts.select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.least(F.lit(1.0), F.lit(MIX_C) / F.sqrt(F.col("n_docs")))
+            * F.lit(_HASH_SCALE)
+        )
+        .cast("long")
+        .alias("mix_threshold"),
+    )
+    drawn = docs.select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(_hash_key(MIX_SALT, F.col("doc_id")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("mix_draw"),
+    )
+    return (
+        drawn.join(F.broadcast(plan), "lang")
+        .filter(F.col("mix_draw") < F.col("mix_threshold"))
+        .select("doc_id", "lang", "mix_draw", "mix_threshold")
+    )
+
+
+ORACLE_MIXTURE_TEMPERATURE_SAMPLE = f"""
+WITH k AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(FLOOR(LEAST(1.0, {MIX_C} / sqrt(COUNT(*))) * {_HASH_SCALE})
+              AS BIGINT) AS mix_threshold
+  FROM documents GROUP BY lang
+),
+d AS (
+  SELECT doc_id, lang,
+         {_oracle_hex_int(f"substr(md5('{MIX_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)")}
+           AS mix_draw
+  FROM documents
+)
+SELECT doc_id, lang, mix_draw, mix_threshold
+FROM d JOIN k USING (lang)
+WHERE mix_draw < mix_threshold
+ORDER BY doc_id
+"""
+
+
+SHARD_SALT = "shard42:"
+N_SHARDS = 8
+
+
+def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training export.
+
+    Training ingest wants the corpus in N balanced shards with a
+    reproducible pseudo-random row order *inside* each shard (sequential
+    readers then see an unbiased sample stream). Both come from one hash:
+    ``shard_id = hash(doc_id) mod N`` balances shards (binomial deviation
+    only), and ranking by the full md5 digest within the shard is the
+    shuffle — no RNG state, so re-runs, retries, and engine migrations
+    produce byte-identical shards.
+
+    Scale shape: the per-shard ``row_number`` window is how the *plan* is
+    attested here; the production writer never materialises a global rank —
+    it runs ``df.repartition(N, shard_id).sortWithinPartitions(shuffle_key)
+    .write.partitionBy(...)`` (see ``tests/test_spans_mixture.py``'s write
+    round-trip), which is exactly one hash shuffle + a per-partition sort.
+    Each shard sorts independently; no global sort, no single-reducer
+    bottleneck.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    keyed = docs.select(
+        "doc_id",
+        _hash_key(SHARD_SALT, F.col("doc_id")).alias("shuffle_key"),
+    ).withColumn(
+        "shard_id",
+        F.pmod(
+            F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("long"),
+            F.lit(N_SHARDS),
+        ),
+    )
+    w = Window.partitionBy("shard_id").orderBy("shuffle_key", "doc_id")
+    return keyed.withColumn(
+        "shard_pos", F.row_number().over(w).cast("long")
+    ).select("doc_id", "shard_id", "shard_pos", "shuffle_key")
+
+
+ORACLE_GLOBAL_SHUFFLE_SHARDS = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5('{SHARD_SALT}' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+         {_oracle_hex_int(f"substr(md5('{SHARD_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)")}
+           % {N_SHARDS} AS shard_id
+  FROM documents
+)
+SELECT doc_id, shard_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY shard_id ORDER BY shuffle_key, doc_id) AS BIGINT)
+         AS shard_pos,
+       shuffle_key
+FROM keyed
+ORDER BY shard_id, shard_pos
+"""
+
+
 QUERIES = {
     "corpus_sample_hash": sample_corpus_hash,
     "stratified_sample": stratified_sample,
+    "mixture_temperature_sample": mixture_temperature_sample,
+    "global_shuffle_shards": global_shuffle_shards,
 }
 
 ORACLES = {
     "corpus_sample_hash": ORACLE_SAMPLE_CORPUS_HASH,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "mixture_temperature_sample": ORACLE_MIXTURE_TEMPERATURE_SAMPLE,
+    "global_shuffle_shards": ORACLE_GLOBAL_SHUFFLE_SHARDS,
 }
