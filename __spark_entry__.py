@@ -121,8 +121,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #   user_sessions → sessionization r3-green; session_window also pinned
 #     by pytest;
 #   daily_usage_windows → ST2 via hourly_usage_windows (head this round)
-#     + quota_latch_final.
+#     + quota_latch_final;
+#   dedup_embedding_cosine → dedup family via minhash/CC/jaccard-verify +
+#     the new duplicate_spans/remove_duplicate_spans (r1-r3 green),
+#     displaced by remove_duplicate_spans.
 _GATE_TAIL = [
+    "dedup_embedding_cosine",
     "json_props_metrics",
     "user_sessions",
     "daily_usage_windows",

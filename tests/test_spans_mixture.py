@@ -21,6 +21,7 @@ from youtube_api_batch_process_with_analytics_spark.operators import (
 from youtube_api_batch_process_with_analytics_spark.operators.spans import (
     SPAN_K,
     duplicate_spans,
+    remove_duplicate_spans,
 )
 from youtube_api_batch_process_with_analytics_spark.sources import load_table
 
@@ -110,6 +111,55 @@ def test_spans_recall_floor_on_fixture(spark, sf_dir):
         for r in duplicate_spans(docs).select("doc_id").distinct().collect()
     }
     assert twin_ids <= flagged
+
+
+def test_remove_spans_keeps_canonical_occurrence(spark):
+    """All-but-one policy: the canonical (min doc_id) document keeps the
+    duplicated region; every other document loses exactly it."""
+    shared = " ".join(f"tok{i}" for i in range(12))
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta " + shared + " gamma"),
+            (2, "one two three four five " + shared),
+            (3, shared + " trailing words here"),
+        ],
+    )
+    got = {r.doc_id: r for r in remove_duplicate_spans(docs, k=4).collect()}
+    assert got[1].n_tokens_removed == 0
+    assert got[1].cleaned_text == "alpha beta " + shared + " gamma"
+    assert got[2].n_tokens_removed == 12
+    assert got[2].cleaned_text == "one two three four five"
+    assert got[3].n_tokens_removed == 12
+    assert got[3].cleaned_text == "trailing words here"
+    assert got[2].n_spans_removed == got[3].n_spans_removed == 1
+
+
+def test_remove_spans_untouched_docs_pass_through(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "totally unique sentence number one right here"),
+            (2, "another fully distinct sentence with different words"),
+        ],
+    )
+    for r in remove_duplicate_spans(docs, k=4).collect():
+        assert r.n_spans_removed == 0 and r.n_tokens_removed == 0
+        assert len(r.cleaned_text.split()) == r.n_tokens
+
+
+def test_remove_spans_token_accounting(spark, sf_dir):
+    """cleaned token count + removed token count == original count, per
+    doc, over the real fixture."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(docs)
+    bad = out.filter(
+        F.size(F.split("cleaned_text", " ")).cast("long")
+        - F.when(F.col("cleaned_text") == "", 1).otherwise(0)  # split('')→['']
+        + F.col("n_tokens_removed")
+        != F.col("n_tokens")
+    )
+    assert bad.count() == 0
 
 
 # -------------------------------------------------------------- mixture

@@ -64,12 +64,24 @@ def duplicate_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     documents — the semantics are "this region also occurs elsewhere in
     the corpus", which is exactly what span-removal needs.
     """
-    toks = docs.select("doc_id", _tokens().alias("toks")).filter(
-        F.size("toks") >= k
+    hits = _dup_hits(_grams(_toks_df(docs), k), keep_canonical=True)
+    return _merge_islands(hits, k).select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        "n_dup_grams",
     )
-    # Map-side k-gram windows with start positions. posexplode's ordinal
-    # IS the 0-based start index of the slice.
-    grams = toks.select(
+
+
+def _toks_df(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", _tokens().alias("toks"))
+
+
+def _grams(toks: DataFrame, k: int) -> DataFrame:
+    """Map-side k-gram fingerprints with start positions. posexplode's
+    ordinal IS the 0-based start index of the slice."""
+    return toks.filter(F.size("toks") >= k).select(
         "doc_id",
         F.posexplode(
             F.expr(
@@ -78,16 +90,31 @@ def duplicate_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
             )
         ).alias("pos", "fp"),
     )
+
+
+def _dup_hits(grams: DataFrame, keep_canonical: bool) -> DataFrame:
+    """Positions of cross-document duplicated windows.
+
+    ``keep_canonical=True`` returns every occurrence (span *detection*);
+    ``False`` drops occurrences in the fingerprint's canonical document —
+    min(doc_id) — so exactly one document keeps each duplicated region
+    (span *removal*, Lee et al.'s all-but-one policy).
+    """
     dup_fps = (
         grams.groupBy("fp")
         .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
         .filter(F.col("_mn") != F.col("_mx"))
-        .select("fp")
+        .select("fp", "_mn")
     )
-    hits = salted_join(grams, dup_fps, "fp", unique_col="doc_id").select(
-        "doc_id", "pos"
-    )
+    hits = salted_join(grams, dup_fps, "fp", unique_col="doc_id")
+    if not keep_canonical:
+        hits = hits.filter(F.col("doc_id") != F.col("_mn"))
+    return hits.select("doc_id", "pos")
 
+
+def _merge_islands(hits: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands merge of overlapping/adjacent k-windows into
+    maximal spans, per document. State bounded by document length."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     flagged = hits.withColumn(
         "_new_island",
@@ -103,20 +130,58 @@ def duplicate_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    return (
-        islands.groupBy("doc_id", "_island")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
-            F.count("*").alias("n_dup_grams"),
-        )
-        .select(
-            "doc_id",
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
-            "n_dup_grams",
-        )
+    return islands.groupBy("doc_id", "_island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+        F.count("*").alias("n_dup_grams"),
+    )
+
+
+def remove_duplicate_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """Rewrite the corpus with all-but-one occurrences of duplicated
+    spans removed (the edit step of Lee et al.'s ExactSubstr dedup).
+
+    Each duplicated fingerprint's occurrence in its canonical document
+    (min ``doc_id``) survives; occurrences elsewhere merge into maximal
+    removal spans whose tokens are cut from the document. Output per
+    document: ``n_tokens`` (before), ``n_spans_removed``,
+    ``n_tokens_removed``, and the reconstructed ``cleaned_text``.
+    Documents without removals pass through with counts 0.
+
+    Scale shape: the heavy stages are the same posting-list pipeline as
+    ``duplicate_spans``; reconstruction is one shuffle join of the
+    corpus against its per-doc removal-span lists (corpus-sized on both
+    sides — deliberately NOT broadcast) and a map-side indexed
+    ``filter`` lambda over the token array.
+    """
+    toks = _toks_df(docs)
+    spans = _merge_islands(_dup_hits(_grams(toks, k), keep_canonical=False), k)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_rem"),
+        F.count("*").alias("n_spans_removed"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+            "n_tokens_removed"
+        ),
+    )
+    joined = toks.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce("_rem", F.array()).alias("_rem"),
+        F.coalesce("n_spans_removed", F.lit(0)).alias("n_spans_removed"),
+        F.coalesce("n_tokens_removed", F.lit(0)).alias("n_tokens_removed"),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        "n_spans_removed",
+        "n_tokens_removed",
+        F.array_join(
+            F.expr(
+                "filter(toks, (t, i) -> NOT exists(_rem,"
+                " r -> i >= r.span_start AND i <= r.span_end))"
+            ),
+            " ",
+        ).alias("cleaned_text"),
     )
 
 
@@ -175,10 +240,98 @@ ORDER BY doc_id, span_start
 """
 
 
+def remove_duplicate_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return remove_duplicate_spans(spread(load_table(spark, sf_dir, "documents")))
+
+
+ORACLE_REMOVE_DUPLICATE_SPANS = f"""
+WITH toks_t AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '{TOKEN_SPLIT_RE}'),
+           t -> t <> ''
+         ) AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(range(0, len(toks) - {SPAN_K} + 1)) AS pos,
+         toks
+  FROM toks_t WHERE len(toks) >= {SPAN_K}
+),
+g2 AS (
+  SELECT doc_id, pos,
+         md5('{SPAN_SALT}' ||
+             array_to_string(toks[pos + 1 : pos + {SPAN_K}], ' ')) AS fp
+  FROM grams
+),
+dup AS (
+  SELECT fp, MIN(doc_id) AS mn
+  FROM g2 GROUP BY fp HAVING MIN(doc_id) <> MAX(doc_id)
+),
+hits AS (
+  SELECT g2.doc_id, g2.pos
+  FROM g2 JOIN dup USING (fp)
+  WHERE g2.doc_id <> dup.mn
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN LAG(pos) OVER w IS NULL
+                   OR pos - LAG(pos) OVER w > {SPAN_K}
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {SPAN_K} - 1 AS e
+  FROM islands GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_spans_removed,
+         CAST(SUM(e - s + 1) AS BIGINT) AS n_tokens_removed
+  FROM spans GROUP BY doc_id
+),
+tokens AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM toks_t
+),
+kept AS (
+  SELECT t.doc_id, t.tok, t.pos
+  FROM tokens t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e)
+),
+cleaned AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       COALESCE(p.n_spans_removed, 0) AS n_spans_removed,
+       COALESCE(p.n_tokens_removed, 0) AS n_tokens_removed,
+       COALESCE(c.cleaned_text, '') AS cleaned_text
+FROM toks_t d
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN cleaned c USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "duplicate_spans": duplicate_spans_query,
+    "remove_duplicate_spans": remove_duplicate_spans_query,
 }
 
 ORACLES = {
     "duplicate_spans": ORACLE_DUPLICATE_SPANS,
+    "remove_duplicate_spans": ORACLE_REMOVE_DUPLICATE_SPANS,
 }
