@@ -124,8 +124,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #     + quota_latch_final;
 #   dedup_embedding_cosine → dedup family via minhash/CC/jaccard-verify +
 #     the new duplicate_spans/remove_duplicate_spans (r1-r3 green),
-#     displaced by remove_duplicate_spans.
+#     displaced by remove_duplicate_spans;
+#   dedup_minhash_lsh → dedup family via CC (its pair graph IS the LSH
+#     band machinery) + duplicate_spans (r1-r3 green), displaced by
+#     doc_novelty;
+#   media_decode_features → multimodal family via media_metadata_stats +
+#     media_resize + media_frame_sample, all head this round (r1-r3
+#     green), displaced by source_overlap_matrix.
 _GATE_TAIL = [
+    "dedup_minhash_lsh",
+    "media_decode_features",
     "dedup_embedding_cosine",
     "json_props_metrics",
     "user_sessions",

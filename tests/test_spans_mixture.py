@@ -20,8 +20,10 @@ from youtube_api_batch_process_with_analytics_spark.operators import (
 )
 from youtube_api_batch_process_with_analytics_spark.operators.spans import (
     SPAN_K,
+    doc_novelty,
     duplicate_spans,
     remove_duplicate_spans,
+    source_overlap_matrix,
 )
 from youtube_api_batch_process_with_analytics_spark.sources import load_table
 
@@ -160,6 +162,47 @@ def test_remove_spans_token_accounting(spark, sf_dir):
         != F.col("n_tokens")
     )
     assert bad.count() == 0
+
+
+def test_novelty_first_doc_wins(spark):
+    """Ingest-order semantics: the earliest doc_id holding a fingerprint
+    scores it as novel; an identical later doc scores 0."""
+    text = " ".join(f"tok{i}" for i in range(10))
+    docs = _docs(spark, [(1, text), (2, text)])
+    got = {r.doc_id: r for r in doc_novelty(docs, k=4).collect()}
+    assert got[1].novelty_permille == 1000
+    assert got[2].novelty_permille == 0
+    assert got[1].n_windows == got[2].n_windows == 7
+
+
+def test_novelty_truncating_permille(spark):
+    """Integer DIV semantics: 2 novel of 3 windows → 666, not 667 —
+    DuckDB CAST would round; the DIV path must truncate identically."""
+    # doc1: 6 unique tokens → 3 windows (k=4), all novel.
+    # doc2: shares doc1's first 4-token window only → 1 of its 3 stale.
+    d1 = "a b c d e f"
+    d2 = "a b c d x y"  # windows: (a b c d) stale, (b c d x), (c d x y) novel
+    got = {
+        r.doc_id: r for r in doc_novelty(_docs(spark, [(1, d1), (2, d2)]), k=4).collect()
+    }
+    assert (got[2].n_novel, got[2].n_windows) == (2, 3)
+    assert got[2].novelty_permille == 666
+
+
+def test_source_overlap_counts_distinct_shared_fps(spark):
+    shared = " ".join(f"s{i}" for i in range(6))  # 3 windows at k=4
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " uniq1 uniq2", "A"),
+            (2, shared + " other words", "B"),
+            (3, "nothing in common here at all", "C"),
+            (4, shared, "A"),  # same source repeat must not inflate counts
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = source_overlap_matrix(docs, k=4).collect()
+    got = {(r.src_a, r.src_b): r.shared_fingerprints for r in rows}
+    assert got == {("A", "B"): 3}
 
 
 # -------------------------------------------------------------- mixture

@@ -326,12 +326,161 @@ ORDER BY doc_id
 """
 
 
+def doc_novelty(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """Per-document k-gram novelty under doc_id ingest order.
+
+    Curation diagnostic (the "how much does this document add" signal
+    behind dedup-aware data valuation): a window is *novel* for the
+    earliest document (min ``doc_id``) containing its fingerprint, stale
+    for every later one. ``novelty_permille`` = 1000·novel/total windows,
+    as exact integers — no float division, so cross-engine trivially.
+
+    Scale shape: one fingerprint aggregate (map-side partial min) and one
+    salted join back — the same posting-list pipeline as span detection,
+    with per-doc state bounded by document length.
+    """
+    grams = _grams(_toks_df(docs), k)
+    first_seen = grams.groupBy("fp").agg(F.min("doc_id").alias("_first"))
+    scored = salted_join(grams, first_seen, "fp", unique_col="doc_id")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("_first"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_novel",
+            # integer DIV on both engines: float division would round
+            # (DuckDB CAST) vs truncate (Spark CAST) at .5 boundaries
+            F.expr("(1000 * n_novel) DIV n_windows").alias(
+                "novelty_permille"
+            ),
+        )
+    )
+
+
+def doc_novelty_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_novelty(spread(load_table(spark, sf_dir, "documents")))
+
+
+ORACLE_DOC_NOVELTY = f"""
+WITH toks_t AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '{TOKEN_SPLIT_RE}'),
+           t -> t <> ''
+         ) AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(range(0, len(toks) - {SPAN_K} + 1)) AS pos,
+         toks
+  FROM toks_t WHERE len(toks) >= {SPAN_K}
+),
+g2 AS (
+  SELECT doc_id, pos,
+         md5('{SPAN_SALT}' ||
+             array_to_string(toks[pos + 1 : pos + {SPAN_K}], ' ')) AS fp
+  FROM grams
+),
+first_seen AS (SELECT fp, MIN(doc_id) AS first_doc FROM g2 GROUP BY fp)
+SELECT doc_id,
+       COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(1000 * SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS novelty_permille
+FROM g2 JOIN first_seen USING (fp)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def source_overlap_matrix(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """Pairwise source-level sharing diagnostic: for each unordered source
+    pair, how many distinct k-gram fingerprints occur in both.
+
+    The corpus-provenance question ("is src7 scraping src2?") answered
+    without any doc-pair expansion: per fingerprint, collect the distinct
+    source set (bounded by #sources, not #docs), explode its unordered
+    pairs map-side, and count per pair. Two aggregates on vocabulary-sized
+    data; no O(docs²) anywhere.
+    """
+    toks = docs.select("doc_id", "source", _tokens().alias("toks"))
+    grams = toks.filter(F.size("toks") >= k).select(
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {k}),"
+                f" i -> md5('{SPAN_SALT}' || array_join(slice(toks, i + 1, {k}), ' ')))"
+            )
+        ).alias("fp"),
+    )
+    fp_sources = grams.groupBy("fp").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    )
+    pairs = fp_sources.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (a, i) ->"
+                " transform(slice(srcs, i + 2, size(srcs)),"
+                " b -> struct(a AS src_a, b AS src_b))))"
+            )
+        ).alias("p")
+    ).select("p.src_a", "p.src_b")
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.count("*").alias("shared_fingerprints")
+    )
+
+
+def source_overlap_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_overlap_matrix(spread(load_table(spark, sf_dir, "documents")))
+
+
+ORACLE_SOURCE_OVERLAP_MATRIX = f"""
+WITH toks_t AS (
+  SELECT doc_id, source,
+         list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '{TOKEN_SPLIT_RE}'),
+           t -> t <> ''
+         ) AS toks
+  FROM documents
+),
+grams AS (
+  SELECT source,
+         unnest(range(0, len(toks) - {SPAN_K} + 1)) AS pos,
+         toks
+  FROM toks_t WHERE len(toks) >= {SPAN_K}
+),
+g2 AS (
+  SELECT DISTINCT source,
+         md5('{SPAN_SALT}' ||
+             array_to_string(toks[pos + 1 : pos + {SPAN_K}], ' ')) AS fp
+  FROM grams
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       COUNT(*) AS shared_fingerprints
+FROM g2 a JOIN g2 b ON a.fp = b.fp AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY src_a, src_b
+"""
+
+
 QUERIES = {
     "duplicate_spans": duplicate_spans_query,
     "remove_duplicate_spans": remove_duplicate_spans_query,
+    "doc_novelty": doc_novelty_query,
+    "source_overlap_matrix": source_overlap_matrix_query,
 }
 
 ORACLES = {
     "duplicate_spans": ORACLE_DUPLICATE_SPANS,
     "remove_duplicate_spans": ORACLE_REMOVE_DUPLICATE_SPANS,
+    "doc_novelty": ORACLE_DOC_NOVELTY,
+    "source_overlap_matrix": ORACLE_SOURCE_OVERLAP_MATRIX,
 }
