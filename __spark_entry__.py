@@ -28,6 +28,7 @@ from youtube_api_batch_process_with_analytics_spark.operators import (
     ranking as _ranking,
     sampling as _sampling,
     scalar_surface as _scalar,
+    bpe as _bpe,
     sketches as _sketches,
     spans as _spans,
     temporal_joins as _temporal,
@@ -43,6 +44,7 @@ _MODULES = [
     _text,
     _dedup,
     _spans,
+    _bpe,
     _chunking,
     _clustering,
     _sampling,
@@ -130,8 +132,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     doc_novelty;
 #   media_decode_features → multimodal family via media_metadata_stats +
 #     media_resize + media_frame_sample, all head this round (r1-r3
-#     green), displaced by source_overlap_matrix.
+#     green), displaced by source_overlap_matrix;
+#   corpus_curation_funnel → curation family via curation_pipeline_v2
+#     (head this round, strictly composes more stages; r3 green),
+#     displaced by bpe_merges.
 _GATE_TAIL = [
+    "corpus_curation_funnel",
     "dedup_minhash_lsh",
     "media_decode_features",
     "dedup_embedding_cosine",

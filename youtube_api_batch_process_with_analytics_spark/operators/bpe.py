@@ -1,0 +1,180 @@
+"""BPE vocabulary induction (byte-pair-encoding merge training).
+
+Beyond the reference surface (SURVEY.md §7.1 M7 scale extensions):
+tokenizer training is the step a 100-TB corpus pipeline runs right before
+chunking/packing (``operators/chunking.py`` consumes its output in real
+life). This is Sennrich et al. 2016 BPE, Spark-first:
+
+- **Pass 1 — word counts.** One shuffle over the corpus (map-side partial
+  aggregation). Everything after runs on the *vocabulary* table — the
+  standard trick that makes BPE trainable at corpus scale: merge rounds
+  never touch the corpus again, only the (word, count) frame, which is
+  millions of rows at worst.
+- **Per merge round**: adjacent symbol pairs weighted by word count (one
+  vocabulary-sized aggregate), argmax with a total-order tie-break
+  (count DESC, then pair lexicographic — deterministic across engines
+  and partitionings, all-integer counts), then greedy left-to-right
+  non-overlapping merge application as a fold over each word's symbol
+  array. The chosen pair is collected to the driver per round — the same
+  bounded-model contract as k-means centroids
+  (``operators/clustering.py``) and Spark ML: rounds × 1 row.
+- **Greedy fold equivalence**: appending-or-merging against the
+  accumulator's last element implements the sequential i+=2 scan exactly,
+  because a merged token ``a||b`` is strictly longer than ``a`` and so
+  can never false-match as the left partner within the same pass.
+
+The DuckDB oracle replays the identical rounds as generated chained CTEs
+(the ``oracle_kmeans_cells`` pattern): pair stats → LIMIT-1 argmax →
+``list_reduce`` string-accumulator fold (DuckDB 1.0's accumulator must be
+scalar, so the symbol list threads through the fold joined by chr(30) —
+tokens are [a-z0-9]-only, so the separator can't collide).
+
+Reference parity anchor: none — the reference has no tokenizer machinery;
+its only text segmentation is ``str.split()`` word counting
+(``youtube_api_handler.py:1119``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table, spread
+from .ranking import TOKEN_SPLIT_RE, _tokens
+
+BPE_MERGES = 6
+_SEP_SQL = "chr(30)"
+
+
+def word_counts(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select(F.explode(_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wcount"))
+    )
+
+
+def _apply_merge_expr(left: str, right: str) -> str:
+    """Greedy left-to-right merge of (left, right) as an array fold.
+
+    Tokens are [a-z0-9]-only (TOKEN_SPLIT_RE), so embedding the symbols
+    as SQL literals needs no escaping.
+    """
+    merged = left + right
+    return (
+        "aggregate(syms, CAST(array() AS ARRAY<STRING>),"
+        " (acc, s) -> IF(size(acc) > 0"
+        f" AND element_at(acc, -1) = '{left}' AND s = '{right}',"
+        f" concat(slice(acc, 1, size(acc) - 1), array('{merged}')),"
+        " concat(acc, array(s))))"
+    )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> list[Row]:
+    """Learn ``n_merges`` BPE merges; returns one Row per round."""
+    syms = word_counts(docs).select(
+        "word", "wcount", F.split("word", "").alias("syms")
+    )
+    merges: list[Row] = []
+    for rnd in range(1, n_merges + 1):
+        pairs = (
+            syms.filter(F.size("syms") >= 2)
+            .select(
+                "wcount",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wcount").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not best:
+            break
+        b = best[0]
+        merges.append(
+            Row(
+                merge_round=rnd,
+                left_sym=b.l,
+                right_sym=b.r,
+                merged_sym=b.l + b.r,
+                pair_count=b.cnt,
+            )
+        )
+        syms = syms.withColumn(
+            "syms", F.expr(_apply_merge_expr(b.l, b.r))
+        )
+    return merges
+
+
+def bpe_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = bpe_train(spread(load_table(spark, sf_dir, "documents")))
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, left_sym string, right_sym string,"
+        " merged_sym string, pair_count long",
+    )
+
+
+def oracle_bpe_merges(n_merges: int = BPE_MERGES) -> str:
+    sep = _SEP_SQL
+    parts = [
+        f"""WITH tok AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '{TOKEN_SPLIT_RE}'),
+           t -> t <> '')) AS word
+  FROM documents
+),
+vocab AS (SELECT word, COUNT(*) AS wcount FROM tok GROUP BY word),
+s0 AS (
+  SELECT word, wcount,
+         array_to_string(string_split_regex(word, ''), {sep}) AS symstr
+  FROM vocab
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts.append(f""",
+p{r} AS (
+  SELECT sy[i] AS lft, sy[i + 1] AS rgt, CAST(SUM(wcount) AS BIGINT) AS cnt
+  FROM (
+    SELECT wcount, string_split(symstr, {sep}) AS sy,
+           unnest(range(1, len(string_split(symstr, {sep})))) AS i
+    FROM s{p}
+  )
+  GROUP BY sy[i], sy[i + 1]
+),
+b{r} AS (SELECT lft, rgt, cnt FROM p{r} ORDER BY cnt DESC, lft, rgt LIMIT 1),
+s{r} AS (
+  SELECT word, wcount,
+         list_reduce(string_split(symstr, {sep}),
+           (acc, s) -> CASE
+             WHEN (string_split(acc, {sep}))[-1] = b.lft AND s = b.rgt
+             THEN array_to_string(
+                    (string_split(acc, {sep}))
+                      [1:len(string_split(acc, {sep})) - 1]
+                      || [b.lft || b.rgt], {sep})
+             ELSE acc || {sep} || s END) AS symstr
+  FROM s{p}, b{r} b
+)""")
+    rounds_union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_round, lft AS left_sym, rgt AS right_sym,"
+        f" lft || rgt AS merged_sym, cnt AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    parts.append(
+        f"\nSELECT * FROM (\n{rounds_union}\n) ORDER BY merge_round"
+    )
+    return "".join(parts)
+
+
+QUERIES = {
+    "bpe_merges": bpe_merges_query,
+}
+
+ORACLES = {
+    "bpe_merges": oracle_bpe_merges(),
+}
