@@ -135,8 +135,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     green), displaced by source_overlap_matrix;
 #   corpus_curation_funnel → curation family via curation_pipeline_v2
 #     (head this round, strictly composes more stages; r3 green),
-#     displaced by bpe_merges.
+#     displaced by bpe_merges;
+#   channel_by_handle → S1/P9 via the channel formatter family
+#     (channel_format_flat, channel_video_metrics head this round;
+#     r1-r3 green), displaced by bpe_fertility.
 _GATE_TAIL = [
+    "channel_by_handle",
     "corpus_curation_funnel",
     "dedup_minhash_lsh",
     "media_decode_features",

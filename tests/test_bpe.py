@@ -86,6 +86,20 @@ def test_bpe_greedy_overlap_run(spark):
     assert got[1] == (2, "aa", "aa", "aaaa", 3)
 
 
+def test_bpe_fertility_accounting(spark, sf_dir):
+    """Fertility bounds: merges only shrink segmentations, so per doc
+    n_bpe_tokens ≤ total characters of its words and ≥ n_words."""
+    from youtube_api_batch_process_with_analytics_spark.operators.bpe import (
+        bpe_fertility_query,
+    )
+
+    out = {r.doc_id: r for r in bpe_fertility_query(spark, sf_dir).collect()}
+    assert out
+    for r in out.values():
+        assert r.n_words <= r.n_bpe_tokens
+        assert r.fertility_permille == (1000 * r.n_bpe_tokens) // r.n_words
+
+
 def test_bpe_fixture_counts_monotone_sanity(spark, sf_dir):
     """On the real fixture: rounds produce non-increasing... not
     guaranteed in general — instead pin structural invariants: merged_sym

@@ -171,10 +171,89 @@ s{r} AS (
     return "".join(parts)
 
 
+def bpe_fertility_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fertility under the learned BPE vocabulary: how many
+    BPE tokens each word-tokenized document becomes.
+
+    The composition a tokenizer-aware pipeline runs before packing
+    (``chunking.pack_sequences`` budgets by token count — this is where
+    that count comes from). Segmentation is a *vocabulary-level* property:
+    the merges apply once to the (word → symbols) table, and the corpus
+    just joins its words against it — the corpus is never re-folded.
+
+    Scale shape: vocabulary fold is merge-rounds × vocab rows; the
+    corpus ⋈ vocab join shuffles on ``word``, whose stopword skew is the
+    canonical hot key — salted (``skew.salted_join``), since the vocab
+    side is aggregate-fed and AQE's skew split won't fire. Fertility
+    ratio uses integer DIV permille, exact on both engines.
+    """
+    from .skew import salted_join
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    merges = bpe_train(docs)
+    seg = word_counts(docs).select(
+        "word", F.split("word", "").alias("syms")
+    )
+    for m in merges:
+        seg = seg.withColumn(
+            "syms", F.expr(_apply_merge_expr(m.left_sym, m.right_sym))
+        )
+    vocab_syms = seg.select("word", F.size("syms").cast("long").alias("n_syms"))
+    corpus = docs.select(
+        "doc_id", F.explode(_tokens()).alias("word")
+    )
+    return (
+        salted_join(corpus, vocab_syms, "word", unique_col="doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            F.expr("(1000 * n_bpe_tokens) DIV n_words").alias(
+                "fertility_permille"
+            ),
+        )
+    )
+
+
+def oracle_bpe_fertility(n_merges: int = BPE_MERGES) -> str:
+    # Reuse the merge-training CTE chain; segment lengths come from the
+    # final round's symbol strings, joined back to per-doc words.
+    base = oracle_bpe_merges(n_merges)
+    chain = base[: base.rindex("\nSELECT * FROM (")]
+    return f"""{chain},
+vocab_syms AS (
+  SELECT word,
+         CAST(len(string_split(symstr, {_SEP_SQL})) AS BIGINT) AS n_syms
+  FROM s{n_merges}
+),
+corpus AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '{TOKEN_SPLIT_RE}'),
+           t -> t <> '')) AS word
+  FROM documents
+)
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens,
+       CAST(1000 * SUM(n_syms) // COUNT(*) AS BIGINT) AS fertility_permille
+FROM corpus JOIN vocab_syms USING (word)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "bpe_merges": bpe_merges_query,
+    "bpe_fertility": bpe_fertility_query,
 }
 
 ORACLES = {
     "bpe_merges": oracle_bpe_merges(),
+    "bpe_fertility": oracle_bpe_fertility(),
 }
