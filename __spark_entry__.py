@@ -138,8 +138,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     displaced by bpe_merges;
 #   channel_by_handle → S1/P9 via the channel formatter family
 #     (channel_format_flat, channel_video_metrics head this round;
-#     r1-r3 green), displaced by bpe_fertility.
+#     r1-r3 green), displaced by bpe_fertility;
+#   video_format_flat → P2 via channel_format_flat (same wide-formatter
+#     machinery, head this round) + duration_parse for the scalar surface
+#     (r1-r3 green), displaced by token_budget_allocation.
 _GATE_TAIL = [
+    "video_format_flat",
     "channel_by_handle",
     "corpus_curation_funnel",
     "dedup_minhash_lsh",

@@ -277,6 +277,52 @@ def test_mixture_capped_stratum_keeps_every_row(spark):
     assert abs(big_kept - rate * 50000) <= 6 * sigma
 
 
+def test_waterfill_skewed_exact_budget(spark):
+    """Skewed capacities: small sources fully funded, big sources clipped
+    to a common level, total EXACTLY the budget (remainder distributed to
+    lexicographically-smallest clipped sources)."""
+    caps = spark.createDataFrame(
+        [("a", 10), ("b", 1000), ("c", 1000), ("d", 50), ("e", 3)],
+        "source string, capacity long",
+    )
+    rows = {r.source: r for r in sp.waterfill(caps, 500).collect()}
+    total_cap = 2063
+    budget = (total_cap * 500) // 1000  # 1031
+    assert sum(r.allocation for r in rows.values()) == budget
+    assert rows["a"].funded and rows["a"].allocation == 10
+    assert rows["e"].funded and rows["e"].allocation == 3
+    assert rows["d"].funded and rows["d"].allocation == 50
+    assert not rows["b"].funded and not rows["c"].funded
+    # level = (1031-63) DIV 2 = 484, remainder 0 → both clipped to 484
+    assert rows["b"].allocation == 484 and rows["c"].allocation == 484
+
+
+def test_waterfill_remainder_goes_to_smallest_clipped(spark):
+    caps = spark.createDataFrame(
+        [("x", 100), ("y", 100), ("z", 100)], "source string, capacity long"
+    )
+    rows = {r.source: r for r in sp.waterfill(caps, 500).collect()}
+    # budget = 150; level = 50, remainder 0 → 50 each
+    assert [rows[s].allocation for s in "xyz"] == [50, 50, 50]
+    caps2 = spark.createDataFrame(
+        [("x", 100), ("y", 100), ("z", 101)], "source string, capacity long"
+    )
+    rows2 = {r.source: r for r in sp.waterfill(caps2, 500).collect()}
+    # budget = 150 (301*500//1000); level 50 rem 0 → 50 each
+    assert sum(r.allocation for r in rows2.values()) == 150
+    got = sorted(r.allocation for r in rows2.values())
+    assert got in ([50, 50, 50],)
+
+
+def test_waterfill_budget_exceeds_capacity(spark):
+    caps = spark.createDataFrame(
+        [("a", 5), ("b", 7)], "source string, capacity long"
+    )
+    rows = {r.source: r for r in sp.waterfill(caps, 1000).collect()}
+    assert all(r.funded for r in rows.values())
+    assert rows["a"].allocation == 5 and rows["b"].allocation == 7
+
+
 # --------------------------------------------------------------- shards
 
 

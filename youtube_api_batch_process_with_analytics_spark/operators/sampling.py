@@ -278,11 +278,158 @@ ORDER BY shard_id, shard_pos
 """
 
 
+BUDGET_PERMILLE = 600
+
+
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfilling token-budget allocation across sources.
+
+    The mixture-design primitive: given per-source capacities (token
+    counts) and a global training budget B (here 60% of the corpus),
+    find the water level T such that every source contributes
+    ``min(capacity, T)`` and the total is exactly B — small sources keep
+    everything, large sources are clipped to the common level, and the
+    integer remainder goes to the lexicographically-smallest clipped
+    sources (one extra token each), so the allocation is exact and
+    deterministic. All arithmetic is integer (DIV/MOD), so Spark and
+    DuckDB agree bit-for-bit.
+
+    Scale shape: capacities are one map-side-combined aggregate over the
+    corpus; the waterfill itself runs windows over the *source* table —
+    tens to thousands of rows — so the "global" sort is over an
+    aggregate-tiny frame, never the corpus.
+
+    Closed form: with sources sorted by (capacity, source) and
+    ``prefix`` = capacity sum strictly before row j of n, the candidate
+    level is ``t_j = (B - prefix) DIV (n - j + 1)``; row j is fully
+    funded iff ``capacity <= t_j``, and the first unfunded row fixes the
+    final level and remainder.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    caps = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("capacity")
+    )
+    return waterfill(caps)
+
+
+def waterfill(caps: DataFrame, budget_permille: int = BUDGET_PERMILLE) -> DataFrame:
+    """Core waterfill over a (source, capacity) frame — see
+    ``token_budget_allocation``."""
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("capacity", "source")
+    staged = (
+        caps.withColumn(
+            "_budget",
+            F.expr(f"(sum(capacity) OVER () * {budget_permille}) DIV 1000"),
+        )
+        .withColumn("_j", F.row_number().over(w_ord))
+        .withColumn("_n", F.count("*").over(w_all))
+        .withColumn(
+            "_prefix",
+            F.coalesce(
+                F.sum("capacity").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "_t", F.expr("(_budget - _prefix) DIV (_n - _j + 1)")
+        )
+        .withColumn("funded", F.col("capacity") <= F.col("_t"))
+    )
+    resolved = (
+        staged.withColumn(
+            "_jstar",
+            F.min(F.when(~F.col("funded"), F.col("_j"))).over(w_all),
+        )
+        .withColumn(
+            "_level",
+            F.max(F.when(F.col("_j") == F.col("_jstar"), F.col("_t"))).over(
+                w_all
+            ),
+        )
+        .withColumn(
+            "_rem",
+            F.max(
+                F.when(
+                    F.col("_j") == F.col("_jstar"),
+                    F.expr("(_budget - _prefix) % (_n - _j + 1)"),
+                )
+            ).over(w_all),
+        )
+        .withColumn(
+            "_ru",
+            F.row_number().over(
+                Window.partitionBy("funded").orderBy("source")
+            ),
+        )
+    )
+    return resolved.select(
+        "source",
+        "capacity",
+        F.when(F.col("funded"), F.col("capacity"))
+        .otherwise(
+            F.col("_level")
+            + F.when(F.col("_ru") <= F.col("_rem"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("allocation"),
+        "funded",
+        F.col("_budget").alias("budget_total"),
+    )
+
+
+ORACLE_TOKEN_BUDGET_ALLOCATION = f"""
+WITH caps AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS capacity
+  FROM documents GROUP BY source
+),
+staged AS (
+  SELECT source, capacity,
+         (SUM(capacity) OVER () * {BUDGET_PERMILLE}) // 1000 AS budget,
+         ROW_NUMBER() OVER w AS j,
+         COUNT(*) OVER () AS n,
+         COALESCE(SUM(capacity) OVER (
+           ORDER BY capacity, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM caps
+  WINDOW w AS (ORDER BY capacity, source)
+),
+lvl AS (
+  SELECT *, (budget - prefix) // (n - j + 1) AS t,
+         capacity <= (budget - prefix) // (n - j + 1) AS funded
+  FROM staged
+),
+r1 AS (
+  SELECT *, MIN(CASE WHEN NOT funded THEN j END) OVER () AS jstar
+  FROM lvl
+),
+resolved AS (
+  SELECT *,
+         MAX(CASE WHEN j = jstar THEN t END) OVER () AS level,
+         MAX(CASE WHEN j = jstar
+                  THEN (budget - prefix) % (n - j + 1) END) OVER () AS rem,
+         ROW_NUMBER() OVER (PARTITION BY funded ORDER BY source) AS ru
+  FROM r1
+)
+SELECT source, capacity,
+       CAST(CASE WHEN funded THEN capacity
+                 ELSE level + CASE WHEN ru <= rem THEN 1 ELSE 0 END
+            END AS BIGINT) AS allocation,
+       funded,
+       CAST(budget AS BIGINT) AS budget_total
+FROM resolved
+ORDER BY source
+"""
+
+
 QUERIES = {
     "corpus_sample_hash": sample_corpus_hash,
     "stratified_sample": stratified_sample,
     "mixture_temperature_sample": mixture_temperature_sample,
     "global_shuffle_shards": global_shuffle_shards,
+    "token_budget_allocation": token_budget_allocation,
 }
 
 ORACLES = {
@@ -290,4 +437,5 @@ ORACLES = {
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "mixture_temperature_sample": ORACLE_MIXTURE_TEMPERATURE_SAMPLE,
     "global_shuffle_shards": ORACLE_GLOBAL_SHUFFLE_SHARDS,
+    "token_budget_allocation": ORACLE_TOKEN_BUDGET_ALLOCATION,
 }
