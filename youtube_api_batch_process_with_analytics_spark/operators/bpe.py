@@ -71,10 +71,23 @@ def _apply_merge_expr(left: str, right: str) -> str:
 
 
 def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> list[Row]:
-    """Learn ``n_merges`` BPE merges; returns one Row per round."""
-    syms = word_counts(docs).select(
+    """Learn ``n_merges`` BPE merges; returns one Row per round.
+
+    The vocabulary base frame persists across the rounds (same rationale
+    as ``clustering._gate_kmeans``): every round's pair-stat job re-reads
+    it, and without the cache each would redo the corpus scan + word
+    aggregate. Unpersisted before returning — no storage stays pinned.
+    """
+    base = word_counts(docs).select(
         "word", "wcount", F.split("word", "").alias("syms")
-    )
+    ).persist()
+    try:
+        return _train_rounds(base, n_merges)
+    finally:
+        base.unpersist()
+
+
+def _train_rounds(syms: DataFrame, n_merges: int) -> list[Row]:
     merges: list[Row] = []
     for rnd in range(1, n_merges + 1):
         pairs = (
@@ -110,8 +123,32 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> list[Row]:
     return merges
 
 
+_BPE_MODEL_CACHE: dict[tuple, list[Row]] = {}
+_BPE_CACHE_LOCK = __import__("threading").Lock()
+
+
+def _fitted_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> list[Row]:
+    """Session-memoized merge list (the k-means fitted-model contract):
+    the merges ARE the model — rounds × 1 row — so refitting for every
+    consumer (bpe_merges, bpe_fertility) would redo n_merges corpus-side
+    jobs for an identical deterministic result."""
+    key = (spark.sparkContext.applicationId, sf_dir, n_merges)
+    with _BPE_CACHE_LOCK:
+        hit = _BPE_MODEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    merges = bpe_train(
+        spread(load_table(spark, sf_dir, "documents")), n_merges
+    )
+    with _BPE_CACHE_LOCK:
+        _BPE_MODEL_CACHE[key] = merges
+    return merges
+
+
 def bpe_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    merges = bpe_train(spread(load_table(spark, sf_dir, "documents")))
+    merges = _fitted_merges(spark, sf_dir)
     return spark.createDataFrame(
         merges,
         "merge_round int, left_sym string, right_sym string,"
@@ -190,7 +227,7 @@ def bpe_fertility_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .skew import salted_join
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    merges = bpe_train(docs)
+    merges = _fitted_merges(spark, sf_dir)
     seg = word_counts(docs).select(
         "word", F.split("word", "").alias("syms")
     )
