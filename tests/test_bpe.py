@@ -86,6 +86,44 @@ def test_bpe_greedy_overlap_run(spark):
     assert got[1] == (2, "aa", "aa", "aaaa", 3)
 
 
+def test_bpe_exhaustion_engine_oracle_parity(spark):
+    """When the vocabulary fully merges before BPE_MERGES rounds, the
+    engine stops early and the generated oracle's later rounds must carry
+    the chain forward unchanged — fertility must still emit one row per
+    doc on both sides (regression: the oracle's cross-join against an
+    empty argmax round used to empty the whole chain)."""
+    import duckdb
+
+    from youtube_api_batch_process_with_analytics_spark.operators.bpe import (
+        bpe_fertility,
+        bpe_train,
+        oracle_bpe_fertility,
+        oracle_bpe_merges,
+    )
+
+    rows = [(1, "ab ab ab aa"), (2, "aa babb babb")]
+    docs = _docs(spark, rows)
+    merges = bpe_train(docs, n_merges=6)
+    assert len(merges) == 4  # exhausts early
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    oracle_merges = con.execute(oracle_bpe_merges(6)).fetchall()
+    assert oracle_merges == [
+        (m.merge_round, m.left_sym, m.right_sym, m.merged_sym, m.pair_count)
+        for m in merges
+    ]
+    got = sorted(
+        tuple(r) for r in bpe_fertility(docs, merges).collect()
+    )
+    want = sorted(tuple(r) for r in con.execute(oracle_bpe_fertility(6)).fetchall())
+    assert got == want and len(got) == 2
+
+
 def test_bpe_fertility_accounting(spark, sf_dir):
     """Fertility bounds: merges only shrink segmentations, so per doc
     n_bpe_tokens ≤ total characters of its words and ≥ n_words."""

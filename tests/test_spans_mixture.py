@@ -237,38 +237,13 @@ def test_mixture_rate_cap_and_monotonicity(spark, sf_dir):
 
 def test_mixture_capped_stratum_keeps_every_row(spark):
     """A stratum small enough to hit the rate cap must keep ALL its rows —
-    the tail-language guarantee."""
+    the tail-language guarantee — through the REAL operator core."""
     docs = spark.createDataFrame(
         [(i, "t", "tiny") for i in range(9)]
         + [(100 + i, "t", "big") for i in range(50000)],
         "doc_id long, text string, lang string",
     )
-    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
-    plan = counts.select(
-        "lang",
-        F.floor(
-            F.least(F.lit(1.0), F.lit(sp.MIX_C) / F.sqrt(F.col("n_docs")))
-            * F.lit(4294967296.0)
-        )
-        .cast("long")
-        .alias("thr"),
-    )
-    drawn = docs.select(
-        "doc_id",
-        "lang",
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(sp.MIX_SALT), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("draw"),
-    ).join(F.broadcast(plan), "lang")
-    kept = drawn.filter(F.col("draw") < F.col("thr"))
+    kept = sp.temperature_sample(docs)
     assert kept.filter(F.col("lang") == "tiny").count() == 9
     big_kept = kept.filter(F.col("lang") == "big").count()
     # big stratum rate = 12/sqrt(50000) ≈ 5.37% → binomial ±6σ
@@ -304,14 +279,15 @@ def test_waterfill_remainder_goes_to_smallest_clipped(spark):
     rows = {r.source: r for r in sp.waterfill(caps, 500).collect()}
     # budget = 150; level = 50, remainder 0 → 50 each
     assert [rows[s].allocation for s in "xyz"] == [50, 50, 50]
-    caps2 = spark.createDataFrame(
-        [("x", 100), ("y", 100), ("z", 101)], "source string, capacity long"
-    )
-    rows2 = {r.source: r for r in sp.waterfill(caps2, 500).collect()}
-    # budget = 150 (301*500//1000); level 50 rem 0 → 50 each
-    assert sum(r.allocation for r in rows2.values()) == 150
-    got = sorted(r.allocation for r in rows2.values())
-    assert got in ([50, 50, 50],)
+    # NONZERO remainder: budget = 300*507//1000 = 152 = 3*50 + 2 → the
+    # two lexicographically-smallest clipped sources get the extra token
+    rows2 = {r.source: r for r in sp.waterfill(caps, 507).collect()}
+    assert sum(r.allocation for r in rows2.values()) == 152
+    assert (
+        rows2["x"].allocation,
+        rows2["y"].allocation,
+        rows2["z"].allocation,
+    ) == (51, 51, 50)
 
 
 def test_waterfill_budget_exceeds_capacity(spark):

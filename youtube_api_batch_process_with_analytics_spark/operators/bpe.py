@@ -186,7 +186,11 @@ p{r} AS (
 ),
 b{r} AS (SELECT lft, rgt, cnt FROM p{r} ORDER BY cnt DESC, lft, rgt LIMIT 1),
 s{r} AS (
+  -- LEFT JOIN ON TRUE + pass-through: when the vocabulary exhausts
+  -- before round {r} (b{r} empty), the chain must carry s{p} forward
+  -- unchanged — the engine stops merging at that point too.
   SELECT word, wcount,
+         CASE WHEN b.lft IS NULL THEN symstr ELSE
          list_reduce(string_split(symstr, {sep}),
            (acc, s) -> CASE
              WHEN (string_split(acc, {sep}))[-1] = b.lft AND s = b.rgt
@@ -194,8 +198,8 @@ s{r} AS (
                     (string_split(acc, {sep}))
                       [1:len(string_split(acc, {sep})) - 1]
                       || [b.lft || b.rgt], {sep})
-             ELSE acc || {sep} || s END) AS symstr
-  FROM s{p}, b{r} b
+             ELSE acc || {sep} || s END) END AS symstr
+  FROM s{p} LEFT JOIN b{r} b ON TRUE
 )""")
     rounds_union = "\nUNION ALL\n".join(
         f"SELECT {r} AS merge_round, lft AS left_sym, rgt AS right_sym,"
@@ -224,10 +228,15 @@ def bpe_fertility_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is aggregate-fed and AQE's skew split won't fire. Fertility
     ratio uses integer DIV permille, exact on both engines.
     """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return bpe_fertility(docs, _fitted_merges(spark, sf_dir))
+
+
+def bpe_fertility(docs: DataFrame, merges: list[Row]) -> DataFrame:
+    """Core of ``bpe_fertility_query`` over any (doc_id, text) frame and
+    learned merge list — see the query docstring for the scale shape."""
     from .skew import salted_join
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    merges = _fitted_merges(spark, sf_dir)
     seg = word_counts(docs).select(
         "word", F.split("word", "").alias("syms")
     )

@@ -170,17 +170,20 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the 5-row stratum count, broadcast back. That is the shape
     that survives 100 TB: one tiny agg + a map-only filter.
     """
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    counts = (
-        load_table(spark, sf_dir, "documents")
-        .groupBy("lang")
-        .agg(F.count("*").alias("n_docs"))
-    )
+    return temperature_sample(spread(load_table(spark, sf_dir, "documents")))
+
+
+def temperature_sample(
+    docs: DataFrame, stratum_col: str = "lang", c: float = MIX_C
+) -> DataFrame:
+    """Core of ``mixture_temperature_sample`` over any frame with
+    ``doc_id`` and a stratum column — see the query docstring."""
+    counts = docs.groupBy(stratum_col).agg(F.count("*").alias("n_docs"))
     plan = counts.select(
-        "lang",
+        stratum_col,
         "n_docs",
         F.floor(
-            F.least(F.lit(1.0), F.lit(MIX_C) / F.sqrt(F.col("n_docs")))
+            F.least(F.lit(1.0), F.lit(c) / F.sqrt(F.col("n_docs")))
             * F.lit(_HASH_SCALE)
         )
         .cast("long")
@@ -188,15 +191,15 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drawn = docs.select(
         "doc_id",
-        "lang",
+        stratum_col,
         F.conv(F.substring(_hash_key(MIX_SALT, F.col("doc_id")), 1, 8), 16, 10)
         .cast("long")
         .alias("mix_draw"),
     )
     return (
-        drawn.join(F.broadcast(plan), "lang")
+        drawn.join(F.broadcast(plan), stratum_col)
         .filter(F.col("mix_draw") < F.col("mix_threshold"))
-        .select("doc_id", "lang", "mix_draw", "mix_threshold")
+        .select("doc_id", stratum_col, "mix_draw", "mix_threshold")
     )
 
 

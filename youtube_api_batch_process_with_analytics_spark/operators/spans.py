@@ -74,15 +74,17 @@ def duplicate_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     )
 
 
-def _toks_df(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", _tokens().alias("toks"))
+def _toks_df(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    return docs.select("doc_id", *extra_cols, _tokens().alias("toks"))
 
 
-def _grams(toks: DataFrame, k: int) -> DataFrame:
-    """Map-side k-gram fingerprints with start positions. posexplode's
-    ordinal IS the 0-based start index of the slice."""
+def _grams(toks: DataFrame, k: int, *extra_cols: str) -> DataFrame:
+    """Map-side k-gram fingerprints with start positions (plus any
+    pass-through columns). posexplode's ordinal IS the 0-based start
+    index of the slice."""
     return toks.filter(F.size("toks") >= k).select(
         "doc_id",
+        *extra_cols,
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, size(toks) - {k}),"
@@ -189,9 +191,15 @@ def duplicate_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(spread(load_table(spark, sf_dir, "documents")))
 
 
-ORACLE_DUPLICATE_SPANS = f"""
-WITH toks_t AS (
-  SELECT doc_id,
+def _oracle_gram_prefix(extra: str = "") -> str:
+    """Shared toks_t → grams → g2 CTE chain for every span-family oracle.
+
+    ``extra`` adds pass-through columns (e.g. ", source") — the single
+    definition keeps the fingerprint scheme (salt, separator, window
+    formula) in one place on the oracle side too, mirroring ``_grams``.
+    """
+    return f"""WITH toks_t AS (
+  SELECT doc_id{extra},
          list_filter(
            regexp_split_to_array(lower(coalesce(text, '')), '{TOKEN_SPLIT_RE}'),
            t -> t <> ''
@@ -199,17 +207,21 @@ WITH toks_t AS (
   FROM documents
 ),
 grams AS (
-  SELECT doc_id,
+  SELECT doc_id{extra},
          unnest(range(0, len(toks) - {SPAN_K} + 1)) AS pos,
          toks
   FROM toks_t WHERE len(toks) >= {SPAN_K}
 ),
 g2 AS (
-  SELECT doc_id, pos,
+  SELECT doc_id{extra}, pos,
          md5('{SPAN_SALT}' ||
              array_to_string(toks[pos + 1 : pos + {SPAN_K}], ' ')) AS fp
   FROM grams
-),
+)"""
+
+
+ORACLE_DUPLICATE_SPANS = f"""
+{_oracle_gram_prefix()},
 dup AS (
   SELECT fp FROM g2 GROUP BY fp HAVING MIN(doc_id) <> MAX(doc_id)
 ),
@@ -245,26 +257,7 @@ def remove_duplicate_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_REMOVE_DUPLICATE_SPANS = f"""
-WITH toks_t AS (
-  SELECT doc_id,
-         list_filter(
-           regexp_split_to_array(lower(coalesce(text, '')), '{TOKEN_SPLIT_RE}'),
-           t -> t <> ''
-         ) AS toks
-  FROM documents
-),
-grams AS (
-  SELECT doc_id,
-         unnest(range(0, len(toks) - {SPAN_K} + 1)) AS pos,
-         toks
-  FROM toks_t WHERE len(toks) >= {SPAN_K}
-),
-g2 AS (
-  SELECT doc_id, pos,
-         md5('{SPAN_SALT}' ||
-             array_to_string(toks[pos + 1 : pos + {SPAN_K}], ' ')) AS fp
-  FROM grams
-),
+{_oracle_gram_prefix()},
 dup AS (
   SELECT fp, MIN(doc_id) AS mn
   FROM g2 GROUP BY fp HAVING MIN(doc_id) <> MAX(doc_id)
@@ -368,26 +361,7 @@ def doc_novelty_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DOC_NOVELTY = f"""
-WITH toks_t AS (
-  SELECT doc_id,
-         list_filter(
-           regexp_split_to_array(lower(coalesce(text, '')), '{TOKEN_SPLIT_RE}'),
-           t -> t <> ''
-         ) AS toks
-  FROM documents
-),
-grams AS (
-  SELECT doc_id,
-         unnest(range(0, len(toks) - {SPAN_K} + 1)) AS pos,
-         toks
-  FROM toks_t WHERE len(toks) >= {SPAN_K}
-),
-g2 AS (
-  SELECT doc_id, pos,
-         md5('{SPAN_SALT}' ||
-             array_to_string(toks[pos + 1 : pos + {SPAN_K}], ' ')) AS fp
-  FROM grams
-),
+{_oracle_gram_prefix()},
 first_seen AS (SELECT fp, MIN(doc_id) AS first_doc FROM g2 GROUP BY fp)
 SELECT doc_id,
        COUNT(*) AS n_windows,
@@ -411,15 +385,8 @@ def source_overlap_matrix(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     pairs map-side, and count per pair. Two aggregates on vocabulary-sized
     data; no O(docs²) anywhere.
     """
-    toks = docs.select("doc_id", "source", _tokens().alias("toks"))
-    grams = toks.filter(F.size("toks") >= k).select(
-        "source",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(toks) - {k}),"
-                f" i -> md5('{SPAN_SALT}' || array_join(slice(toks, i + 1, {k}), ' ')))"
-            )
-        ).alias("fp"),
+    grams = _grams(_toks_df(docs, "source"), k, "source").select(
+        "source", "fp"
     )
     fp_sources = grams.groupBy("fp").agg(
         F.sort_array(F.collect_set("source")).alias("srcs")
@@ -443,29 +410,11 @@ def source_overlap_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SOURCE_OVERLAP_MATRIX = f"""
-WITH toks_t AS (
-  SELECT doc_id, source,
-         list_filter(
-           regexp_split_to_array(lower(coalesce(text, '')), '{TOKEN_SPLIT_RE}'),
-           t -> t <> ''
-         ) AS toks
-  FROM documents
-),
-grams AS (
-  SELECT source,
-         unnest(range(0, len(toks) - {SPAN_K} + 1)) AS pos,
-         toks
-  FROM toks_t WHERE len(toks) >= {SPAN_K}
-),
-g2 AS (
-  SELECT DISTINCT source,
-         md5('{SPAN_SALT}' ||
-             array_to_string(toks[pos + 1 : pos + {SPAN_K}], ' ')) AS fp
-  FROM grams
-)
+{_oracle_gram_prefix(", source")},
+gsrc AS (SELECT DISTINCT source, fp FROM g2)
 SELECT a.source AS src_a, b.source AS src_b,
        COUNT(*) AS shared_fingerprints
-FROM g2 a JOIN g2 b ON a.fp = b.fp AND a.source < b.source
+FROM gsrc a JOIN gsrc b ON a.fp = b.fp AND a.source < b.source
 GROUP BY a.source, b.source
 ORDER BY src_a, src_b
 """
