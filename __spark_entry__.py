@@ -141,8 +141,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     r1-r3 green), displaced by bpe_fertility;
 #   video_format_flat → P2 via channel_format_flat (same wide-formatter
 #     machinery, head this round) + duration_parse for the scalar surface
-#     (r1-r3 green), displaced by token_budget_allocation.
+#     (r1-r3 green), displaced by token_budget_allocation;
+#   language_fallback_resolution → S5/J2/P8 via language_id +
+#     language_mode's r3 record (r1-r3 green), displaced by the
+#     export_pipeline capstone.
 _GATE_TAIL = [
+    "language_fallback_resolution",
     "video_format_flat",
     "channel_by_handle",
     "corpus_curation_funnel",

@@ -345,6 +345,27 @@ def test_shards_write_path_roundtrip(spark, sf_dir, tmp_path):
     assert plan == written
 
 
+def test_export_pipeline_manifest_reconciles(spark, sf_dir):
+    """The (shard, lang) manifest must account for exactly the mixture
+    selection, with token counts equal to the span-cleaned totals."""
+    from youtube_api_batch_process_with_analytics_spark.operators.spans import (
+        export_pipeline,
+        remove_duplicate_spans,
+    )
+
+    manifest = export_pipeline(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    selected = sp.temperature_sample(docs)
+    assert sum(r.n_docs for r in manifest) == selected.count()
+    cleaned = {
+        r.doc_id: r.n_tokens - r.n_tokens_removed
+        for r in remove_duplicate_spans(docs).collect()
+    }
+    want_tokens = sum(cleaned[r.doc_id] for r in selected.select("doc_id").collect())
+    assert sum(r.n_tokens for r in manifest) == want_tokens
+    assert all(0 <= r.shard_id < sp.N_SHARDS for r in manifest)
+
+
 def test_shards_deterministic_across_invocations(spark, sf_dir):
     a = sp.global_shuffle_shards(spark, sf_dir).collect()
     b = sp.global_shuffle_shards(spark, sf_dir).collect()

@@ -420,11 +420,88 @@ ORDER BY src_a, src_b
 """
 
 
+def export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone export leg: span cleanup → temperature mixture →
+    shard manifest, one query.
+
+    Where ``text_analysis.curation_pipeline_v2`` ends (a curated corpus),
+    this picks up and produces the training-export manifest: duplicated
+    spans are cut (``remove_duplicate_spans``' all-but-one edit), the
+    survivor corpus is rebalanced across languages
+    (``sampling.temperature_sample``'s α=0.5 integer thresholds), and
+    every selected document lands in a hash shard
+    (``sampling.global_shuffle_shards``' assignment). Output: per
+    (shard, lang) document and cleaned-token counts — the manifest a
+    trainer's data loader reads.
+
+    Scale shape: the stages are the gated operators' own plans; the only
+    additions are one doc_id join (cleaned counts ⋈ mixture selection)
+    and the final tiny aggregate. Nothing here re-materialises text.
+    """
+    from .sampling import SHARD_SALT, N_SHARDS, temperature_sample, _hash_key
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    cleaned = remove_duplicate_spans(docs).select(
+        "doc_id",
+        (F.col("n_tokens") - F.col("n_tokens_removed")).alias("n_clean"),
+    )
+    selected = temperature_sample(docs).select("doc_id", "lang")
+    sharded = selected.join(cleaned, "doc_id").withColumn(
+        "shard_id",
+        F.pmod(
+            F.conv(
+                F.substring(_hash_key(SHARD_SALT, F.col("doc_id")), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(N_SHARDS),
+        ),
+    )
+    return sharded.groupBy("shard_id", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_clean").alias("n_tokens"),
+    )
+
+
+def _oracle_export_pipeline() -> str:
+    from .sampling import (
+        ORACLE_MIXTURE_TEMPERATURE_SAMPLE,
+        SHARD_SALT,
+        N_SHARDS,
+        _oracle_hex_int,
+    )
+
+    shard_expr = _oracle_hex_int(
+        f"substr(md5('{SHARD_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    )
+    return f"""
+WITH cleaned AS (
+  SELECT doc_id, n_tokens - n_tokens_removed AS n_clean
+  FROM ({ORACLE_REMOVE_DUPLICATE_SPANS})
+),
+mix AS (
+  SELECT doc_id, lang FROM ({ORACLE_MIXTURE_TEMPERATURE_SAMPLE})
+),
+sharded AS (
+  SELECT m.doc_id, m.lang, c.n_clean,
+         {shard_expr} % {N_SHARDS} AS shard_id
+  FROM mix m JOIN cleaned c USING (doc_id)
+)
+SELECT shard_id, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_clean) AS BIGINT) AS n_tokens
+FROM sharded
+GROUP BY shard_id, lang
+ORDER BY shard_id, lang
+"""
+
+
 QUERIES = {
     "duplicate_spans": duplicate_spans_query,
     "remove_duplicate_spans": remove_duplicate_spans_query,
     "doc_novelty": doc_novelty_query,
     "source_overlap_matrix": source_overlap_matrix_query,
+    "export_pipeline": export_pipeline,
 }
 
 ORACLES = {
@@ -432,4 +509,5 @@ ORACLES = {
     "remove_duplicate_spans": ORACLE_REMOVE_DUPLICATE_SPANS,
     "doc_novelty": ORACLE_DOC_NOVELTY,
     "source_overlap_matrix": ORACLE_SOURCE_OVERLAP_MATRIX,
+    "export_pipeline": _oracle_export_pipeline(),
 }
