@@ -363,7 +363,19 @@ def test_export_pipeline_manifest_reconciles(spark, sf_dir):
     }
     want_tokens = sum(cleaned[r.doc_id] for r in selected.select("doc_id").collect())
     assert sum(r.n_tokens for r in manifest) == want_tokens
-    assert all(0 <= r.shard_id < sp.N_SHARDS for r in manifest)
+    # the manifest's shard_id must be THE writer's assignment: regroup the
+    # selection through global_shuffle_shards and compare per-cell counts
+    shards = {
+        r.doc_id: r.shard_id
+        for r in sp.global_shuffle_shards(spark, sf_dir).collect()
+    }
+    from collections import Counter
+
+    want_cells = Counter(
+        (shards[r.doc_id], r.lang) for r in selected.collect()
+    )
+    got_cells = {(r.shard_id, r.lang): r.n_docs for r in manifest}
+    assert got_cells == dict(want_cells)
 
 
 def test_shards_deterministic_across_invocations(spark, sf_dir):

@@ -170,15 +170,30 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the 5-row stratum count, broadcast back. That is the shape
     that survives 100 TB: one tiny agg + a map-only filter.
     """
-    return temperature_sample(spread(load_table(spark, sf_dir, "documents")))
+    return temperature_sample(
+        spread(load_table(spark, sf_dir, "documents")),
+        # counts leg reads the un-spread scan: partial agg on the scan +
+        # one tiny exchange, never a full-corpus round-robin repartition
+        counts_from=load_table(spark, sf_dir, "documents"),
+    )
 
 
 def temperature_sample(
-    docs: DataFrame, stratum_col: str = "lang", c: float = MIX_C
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    c: float = MIX_C,
+    counts_from: DataFrame | None = None,
 ) -> DataFrame:
     """Core of ``mixture_temperature_sample`` over any frame with
-    ``doc_id`` and a stratum column — see the query docstring."""
-    counts = docs.groupBy(stratum_col).agg(F.count("*").alias("n_docs"))
+    ``doc_id`` and a stratum column — see the query docstring.
+
+    ``counts_from`` optionally supplies a cheaper scan for the stratum
+    counts (the gate query passes the un-spread table so the counts leg
+    skips the corpus repartition that ``spread`` adds for compute
+    parallelism on the map side)."""
+    counts = (counts_from if counts_from is not None else docs).groupBy(
+        stratum_col
+    ).agg(F.count("*").alias("n_docs"))
     plan = counts.select(
         stratum_col,
         "n_docs",
@@ -227,6 +242,29 @@ SHARD_SALT = "shard42:"
 N_SHARDS = 8
 
 
+def shard_id_col(doc_id=None):
+    """THE shard-assignment expression — single definition shared by
+    ``global_shuffle_shards`` and the export manifest, so the manifest
+    always describes the shards the writer actually produces."""
+    key = F.col("doc_id") if doc_id is None else doc_id
+    return F.pmod(
+        F.conv(F.substring(_hash_key(SHARD_SALT, key), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(N_SHARDS),
+    )
+
+
+def oracle_shard_id_expr() -> str:
+    """DuckDB twin of ``shard_id_col`` (same single-definition contract)."""
+    return (
+        _oracle_hex_int(
+            f"substr(md5('{SHARD_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)"
+        )
+        + f" % {N_SHARDS}"
+    )
+
+
 def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle + shard assignment for training export.
 
@@ -250,12 +288,7 @@ def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.select(
         "doc_id",
         _hash_key(SHARD_SALT, F.col("doc_id")).alias("shuffle_key"),
-    ).withColumn(
-        "shard_id",
-        F.pmod(
-            F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("long"),
-            F.lit(N_SHARDS),
-        ),
+        shard_id_col().alias("shard_id"),
     )
     w = Window.partitionBy("shard_id").orderBy("shuffle_key", "doc_id")
     return keyed.withColumn(
@@ -267,8 +300,7 @@ ORACLE_GLOBAL_SHUFFLE_SHARDS = f"""
 WITH keyed AS (
   SELECT doc_id,
          md5('{SHARD_SALT}' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
-         {_oracle_hex_int(f"substr(md5('{SHARD_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)")}
-           % {N_SHARDS} AS shard_id
+         {oracle_shard_id_expr()} AS shard_id
   FROM documents
 )
 SELECT doc_id, shard_id,

@@ -438,24 +438,18 @@ def export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     additions are one doc_id join (cleaned counts ⋈ mixture selection)
     and the final tiny aggregate. Nothing here re-materialises text.
     """
-    from .sampling import SHARD_SALT, N_SHARDS, temperature_sample, _hash_key
+    from .sampling import shard_id_col, temperature_sample
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     cleaned = remove_duplicate_spans(docs).select(
         "doc_id",
         (F.col("n_tokens") - F.col("n_tokens_removed")).alias("n_clean"),
     )
-    selected = temperature_sample(docs).select("doc_id", "lang")
+    selected = temperature_sample(
+        docs, counts_from=load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "lang")
     sharded = selected.join(cleaned, "doc_id").withColumn(
-        "shard_id",
-        F.pmod(
-            F.conv(
-                F.substring(_hash_key(SHARD_SALT, F.col("doc_id")), 1, 8),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(N_SHARDS),
-        ),
+        "shard_id", shard_id_col()
     )
     return sharded.groupBy("shard_id", "lang").agg(
         F.count("*").alias("n_docs"),
@@ -466,14 +460,9 @@ def export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_export_pipeline() -> str:
     from .sampling import (
         ORACLE_MIXTURE_TEMPERATURE_SAMPLE,
-        SHARD_SALT,
-        N_SHARDS,
-        _oracle_hex_int,
+        oracle_shard_id_expr,
     )
 
-    shard_expr = _oracle_hex_int(
-        f"substr(md5('{SHARD_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)"
-    )
     return f"""
 WITH cleaned AS (
   SELECT doc_id, n_tokens - n_tokens_removed AS n_clean
@@ -484,7 +473,7 @@ mix AS (
 ),
 sharded AS (
   SELECT m.doc_id, m.lang, c.n_clean,
-         {shard_expr} % {N_SHARDS} AS shard_id
+         {oracle_shard_id_expr()} AS shard_id
   FROM mix m JOIN cleaned c USING (doc_id)
 )
 SELECT shard_id, lang,
