@@ -378,6 +378,44 @@ def test_export_pipeline_manifest_reconciles(spark, sf_dir):
     assert got_cells == dict(want_cells)
 
 
+def test_row_local_decisions_scale_invariant(spark):
+    """THE 100-TB property of hash-based assignment: a document's split,
+    sample bucket, and shard do not change when the corpus grows 10× —
+    the testdata scales nest (sf0.001 ⊆ sf0.01), so the same doc_id must
+    get byte-identical decisions at both scales."""
+    from youtube_api_batch_process_with_analytics_spark.operators.chunking import (
+        split_by_hash,
+    )
+
+    def decisions(sf):
+        docs = load_table(spark, f"/root/testdata/sf{sf}", "documents")
+        split = {
+            r.doc_id: r.split for r in split_by_hash(docs.select("doc_id")).collect()
+        }
+        bucket = {
+            r.doc_id: r.sample_bucket
+            for r in sp.sample_corpus_hash(spark, f"/root/testdata/sf{sf}")
+            .select("doc_id", "sample_bucket")
+            .collect()
+        }
+        shard = {
+            r.doc_id: r.shard_id
+            for r in sp.global_shuffle_shards(spark, f"/root/testdata/sf{sf}")
+            .select("doc_id", "shard_id")
+            .collect()
+        }
+        return split, bucket, shard
+
+    s_small, b_small, h_small = decisions("0.001")
+    s_big, b_big, h_big = decisions("0.01")
+    assert set(s_small) <= set(s_big)
+    assert all(s_big[d] == v for d, v in s_small.items())
+    # sample membership: a doc selected at one scale is selected at both
+    assert all(b_big.get(d) == v for d, v in b_small.items() if d in b_big)
+    assert set(b_small) == {d for d in b_big if d in s_small}
+    assert all(h_big[d] == v for d, v in h_small.items())
+
+
 def test_shards_deterministic_across_invocations(spark, sf_dir):
     a = sp.global_shuffle_shards(spark, sf_dir).collect()
     b = sp.global_shuffle_shards(spark, sf_dir).collect()
