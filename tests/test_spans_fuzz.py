@@ -105,6 +105,78 @@ def _spark_corpus(spark, corpus):
     )
 
 
+def _ref_waterfill(caps: dict[str, int], permille: int):
+    budget = (sum(caps.values()) * permille) // 1000
+    remaining, alloc = budget, {}
+    todo = sorted(caps.items(), key=lambda kv: (kv[1], kv[0]))
+    while todo:
+        level, n = remaining // len(todo), len(todo)
+        src, cap = todo[0]
+        if cap <= level:
+            alloc[src] = cap
+            remaining -= cap
+            todo.pop(0)
+        else:
+            rem = remaining % n
+            for i, (s, _) in enumerate(sorted(todo)):
+                alloc[s] = level + (1 if i < rem else 0)
+            todo = []
+    return budget, alloc
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.integers(min_value=0, max_value=500),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=0, max_value=1000),
+)
+def test_fuzz_waterfill(spark, caps, permille):
+    from youtube_api_batch_process_with_analytics_spark.operators.sampling import (
+        waterfill,
+    )
+
+    df = spark.createDataFrame(
+        list(caps.items()), "source string, capacity long"
+    )
+    rows = waterfill(df, permille).collect()
+    budget, want = _ref_waterfill(caps, permille)
+    assert {r.source: r.allocation for r in rows} == want
+    assert all(r.budget_total == budget for r in rows)
+    assert sum(r.allocation for r in rows) == min(budget, sum(caps.values()))
+
+
+_word = st.text(alphabet="ab", min_size=1, max_size=6)
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(st.lists(_word, min_size=1, max_size=8), min_size=1, max_size=3))
+def test_fuzz_bpe_vs_reference(spark, docs):
+    """Random 2-symbol corpora maximize merge collisions and ties; the
+    engine's merge sequence must equal the dict-based reference exactly
+    (tie-break included)."""
+    from collections import Counter
+
+    from youtube_api_batch_process_with_analytics_spark.operators.bpe import (
+        bpe_train,
+    )
+    from tests.test_bpe import _ref_bpe
+
+    words = Counter(w for d in docs for w in d)
+    sdf = spark.createDataFrame(
+        [(i + 1, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = [
+        (m.merge_round, m.left_sym, m.right_sym, m.merged_sym, m.pair_count)
+        for m in bpe_train(sdf, n_merges=4)
+    ]
+    assert got == _ref_bpe(dict(words), 4)
+
+
 @settings(max_examples=6, deadline=None)
 @given(_corpus)
 def test_fuzz_duplicate_spans(spark, docs):
