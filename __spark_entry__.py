@@ -144,8 +144,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     (r1-r3 green), displaced by token_budget_allocation;
 #   language_fallback_resolution → S5/J2/P8 via language_id +
 #     language_mode's r3 record (r1-r3 green), displaced by the
-#     export_pipeline capstone.
+#     export_pipeline capstone;
+#   enrichment_join → J1/F3 via dim_broadcast_join + channel_video_metrics
+#     (J3), both head this round (r1-r3 green), displaced by
+#     pack_sequences_bpe.
 _GATE_TAIL = [
+    "enrichment_join",
     "language_fallback_resolution",
     "video_format_flat",
     "channel_by_handle",

@@ -138,6 +138,38 @@ def test_bpe_fertility_accounting(spark, sf_dir):
         assert r.fertility_permille == (1000 * r.n_bpe_tokens) // r.n_words
 
 
+def test_pack_sequences_bpe_uses_fertility_measure(spark, sf_dir):
+    """BPE packing must budget by the fertility counts and reproduce the
+    per-source streaming prefix-sum exactly."""
+    from youtube_api_batch_process_with_analytics_spark.operators.bpe import (
+        bpe_fertility_query,
+        pack_sequences_bpe_query,
+    )
+    from youtube_api_batch_process_with_analytics_spark.operators.chunking import (
+        PACK_BUDGET,
+    )
+    from youtube_api_batch_process_with_analytics_spark.sources import load_table
+
+    fert = {r.doc_id: r.n_bpe_tokens for r in bpe_fertility_query(spark, sf_dir).collect()}
+    src = {
+        r.doc_id: r.source
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    }
+    packed = pack_sequences_bpe_query(spark, sf_dir).collect()
+    assert {r.doc_id: r.n_tokens for r in packed} == fert
+    # recompute the stream per source in doc_id order
+    by_source: dict = {}
+    for d in sorted(fert):
+        by_source.setdefault(src[d], []).append(d)
+    want = {}
+    for s, ids in by_source.items():
+        cum = 0
+        for d in ids:
+            want[d] = (cum // PACK_BUDGET, cum % PACK_BUDGET)
+            cum += fert[d]
+    assert {r.doc_id: (r.bin, r.bin_offset) for r in packed} == want
+
+
 def test_bpe_fixture_counts_monotone_sanity(spark, sf_dir):
     """On the real fixture: rounds produce non-increasing... not
     guaranteed in general — instead pin structural invariants: merged_sym

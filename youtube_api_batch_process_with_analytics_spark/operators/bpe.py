@@ -294,12 +294,62 @@ ORDER BY doc_id
 """
 
 
+def pack_sequences_bpe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing under the REAL token measure: bins budgeted by
+    BPE token counts (``bpe_fertility``) instead of whitespace words.
+
+    This is the composition a production data loader actually runs —
+    whitespace counts under-budget by the fertility factor (~1.5-3×
+    depending on vocabulary size), so packing by them overflows the
+    context window. Reuses ``chunking.pack_sequences`` unchanged: the
+    packing operator is measure-agnostic, only the ``n_tokens`` column
+    changes. Documents with zero alphanumeric tokens have nothing to
+    pack and are absent, same as the fertility table.
+    """
+    from .chunking import pack_sequences
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    fert = bpe_fertility(docs, _fitted_merges(spark, sf_dir)).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return pack_sequences(src.join(fert, "doc_id"))
+
+
+def oracle_pack_sequences_bpe(n_merges: int = BPE_MERGES) -> str:
+    from .chunking import PACK_BUDGET
+
+    return f"""
+WITH fert AS (
+  SELECT doc_id, n_bpe_tokens FROM ({oracle_bpe_fertility(n_merges)})
+),
+t AS (
+  SELECT d.doc_id, d.source, CAST(f.n_bpe_tokens AS BIGINT) AS n_tokens
+  FROM documents d JOIN fert f USING (doc_id)
+),
+c AS (
+  SELECT *,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS start
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(start // {PACK_BUDGET} AS BIGINT) AS bin,
+       CAST(start % {PACK_BUDGET} AS BIGINT) AS bin_offset
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "bpe_merges": bpe_merges_query,
     "bpe_fertility": bpe_fertility_query,
+    "pack_sequences_bpe": pack_sequences_bpe_query,
 }
 
 ORACLES = {
     "bpe_merges": oracle_bpe_merges(),
     "bpe_fertility": oracle_bpe_fertility(),
+    "pack_sequences_bpe": oracle_pack_sequences_bpe(),
 }
