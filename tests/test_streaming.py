@@ -34,6 +34,42 @@ def _run_to_memory(df, name):
     return q
 
 
+def test_sessionization_stream_matches_batch(spark, sf_dir, event_stream):
+    """Streaming session_window (append mode + watermark) must emit rows
+    byte-identical to the batch user_sessions operator: every emitted
+    session appears in the batch result, and every session the final
+    watermark has strictly passed is emitted."""
+    from youtube_api_batch_process_with_analytics_spark.operators.windows import (
+        user_sessions,
+    )
+    from youtube_api_batch_process_with_analytics_spark.streaming import (
+        user_sessions_stream,
+    )
+
+    stream_df, batch = event_stream
+    q = (
+        user_sessions_stream(stream_df)
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = {
+            tuple(r)
+            for r in spark.sql("SELECT * FROM sessions_stream").collect()
+        }
+    finally:
+        q.stop()
+    want_all = {tuple(r) for r in user_sessions(spark, sf_dir).collect()}
+    assert got <= want_all
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    closed = {t for t in want_all if t[2] < max_ts}  # session_end < watermark
+    assert closed <= got and got
+
+
 def test_quota_usage_stream_matches_batch(spark, event_stream):
     stream_df, batch = event_stream
     q = _run_to_memory(quota_usage_stream(stream_df), "quota_stream")

@@ -1,2 +1,3 @@
 from .quota import quota_usage_stream, watermarked_level_counts  # noqa: F401
+from .sessions import user_sessions_stream  # noqa: F401
 from .state import quota_latch_stream, ttl_cache_stream  # noqa: F401
