@@ -147,3 +147,38 @@ def test_pack_sequences_shuffles_once_on_group_key(spark, sf_dir):
     )
     tree = _formatted_plan(pack_sequences(with_tokens)).split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree
+
+
+def test_chunk_documents_null_text_matches_oracle(spark, tmp_path):
+    """NULL text is a latent cross-engine edge: with ANSI off Spark's
+    size(NULL) is -1 (→ chunk rows with n_tokens=-1) while the DuckDB twin
+    propagates NULL — both sides coalesce NULL→'' so a NULL-text doc yields
+    exactly one empty chunk. The shipped fixtures carry no NULL text, so
+    this builds a corpus that does and runs the full differential."""
+    import duckdb
+
+    rows = [
+        (1, None, "en", "web", 0),
+        (2, "alpha beta gamma delta epsilon zeta eta theta", "en", "web", 46),
+        (3, "", "en", "web", 0),
+        (4, None, "de", "books", 0),
+    ]
+    p = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+
+    out = chunk_documents(
+        spark.read.parquet(p), chunk_tokens=4, overlap=1
+    ).select("doc_id", "chunk_idx", "chunk_text", "n_tokens")
+
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}/*.parquet'")
+        assert_oracle_match(out, con, oracle_chunk_documents(4, 1))
+    finally:
+        con.close()
+    # and the NULL docs really are present as single empty chunks
+    got = {r.doc_id: r for r in out.collect() if r.doc_id in (1, 3, 4)}
+    assert {r.chunk_idx for r in got.values()} == {0}
+    assert all(r.chunk_text == "" for r in got.values())

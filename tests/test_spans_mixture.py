@@ -99,9 +99,18 @@ def test_spans_recall_floor_on_fixture(spark, sf_dir):
         .agg(
             F.count("*").alias("n"),
             F.collect_list("doc_id").alias("ids"),
-            F.min(F.size(F.split(F.lower(F.col("text")), "[^a-z0-9]+"))).alias(
-                "min_toks"
-            ),
+            # count tokens the way the operator's _tokens() does: the
+            # split can yield '' at the string edges, which must not
+            # inflate the count (a doc with SPAN_K-1 real tokens would
+            # otherwise pass the filter yet never produce a span)
+            F.min(
+                F.size(
+                    F.filter(
+                        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                        lambda t: t != "",
+                    )
+                )
+            ).alias("min_toks"),
         )
         .filter((F.col("n") > 1) & (F.col("min_toks") >= SPAN_K))
     )

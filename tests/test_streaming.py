@@ -65,8 +65,18 @@ def test_sessionization_stream_matches_batch(spark, sf_dir, event_stream):
         q.stop()
     want_all = {tuple(r) for r in user_sessions(spark, sf_dir).collect()}
     assert got <= want_all
-    max_ts = batch.agg(F.max("ts")).collect()[0][0]
-    closed = {t for t in want_all if t[2] < max_ts}  # session_end < watermark
+    # final watermark trails the max event time by WATERMARK_DELAY
+    from datetime import timedelta
+
+    from youtube_api_batch_process_with_analytics_spark.streaming.sessions import (
+        WATERMARK_DELAY,
+    )
+
+    n, unit = WATERMARK_DELAY.split()
+    wm = batch.agg(F.max("ts")).collect()[0][0] - timedelta(
+        **{unit.rstrip("s") + "s": int(n)}
+    )
+    closed = {t for t in want_all if t[2] < wm}  # session_end < watermark
     assert closed <= got and got
 
 
@@ -244,3 +254,92 @@ def test_incremental_dedup_stream_vs_history(spark, sf_dir, tmp_path):
         assert got == expected and got
     finally:
         q.stop()
+
+
+def test_sessionization_multibatch_out_of_order(spark, tmp_path):
+    """Pin both sides of the sessionization lateness bound across REAL
+    micro-batch boundaries (maxFilesPerTrigger=1, one file per batch, file
+    order forced via mtime) — the availableNow parity test above lands all
+    data in one batch, so cross-batch reordering was never exercised:
+
+    - an event arriving a later batch, behind the frontier but within
+      WATERMARK_DELAY + gap of state eviction, still merges into its
+      session (batch-identical result);
+    - an event whose whole possible session (ts + gap) is behind the
+      watermark is dropped — the state-eviction contract.
+    """
+    import os
+    import time
+    from datetime import datetime
+
+    import pandas as pd
+
+    from youtube_api_batch_process_with_analytics_spark.streaming import (
+        user_sessions_stream,
+    )
+
+    d = tmp_path / "ooo_events"
+    d.mkdir()
+
+    def jan(day, hour, minute=0):
+        return datetime(2020, 1, day, hour, minute)
+
+    files = [
+        # batch 0: A opens a session, B's event sets the frontier
+        [(1, jan(1, 0), "view"), (1, jan(1, 1), "view"), (2, jan(1, 5), "error")],
+        # batch 1: A@04:30 is BEHIND the frontier but within bound ->
+        # must merge into A's open session
+        [(1, jan(1, 4, 30), "view")],
+        # batch 2: C jumps the frontier (wm -> Jan 4 23:00 after commit)
+        [(3, jan(5, 0), "view")],
+        # batch 3: E advances further (wm -> Jan 9 23:00), closing A and B
+        [(5, jan(10, 0), "view")],
+        # batch 4: D is far behind even the PREVIOUS batch's watermark
+        # (late-event filtering lags eviction by one batch, SPARK-40925)
+        # -> dropped entirely, no session row ever
+        [(4, jan(1, 6), "view")],
+    ]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+        # micros, not pandas-default nanos: Spark reads TIMESTAMP_MICROS
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(d / f"f{i}.parquet", index=False)
+        mt = time.time() - 100 + i * 10
+        os.utime(d / f"f{i}.parquet", (mt, mt))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        user_sessions_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ooo_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        n_dropped = sum(
+            so["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            for so in p["stateOperators"]
+        )
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events, r.n_errors)
+            for r in spark.sql("SELECT * FROM ooo_sessions").collect()
+        }
+    finally:
+        q.stop()
+    assert n_batches >= 5, f"expected one micro-batch per file, saw {n_batches}"
+    assert n_dropped == 1, f"expected exactly the out-of-bound row dropped, saw {n_dropped}"
+    assert got == {
+        # the in-bound late event extended A's session and counts in it
+        (1, jan(1, 0), jan(1, 16, 30), 3, 0),
+        (2, jan(1, 5), jan(1, 17), 1, 1),
+        (3, jan(5, 0), jan(5, 12), 1, 0),
+        # no user-4 row (out-of-bound drop), no user-5 row (still open)
+    }, sorted(got)

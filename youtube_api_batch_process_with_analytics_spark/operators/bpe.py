@@ -30,8 +30,8 @@ scalar, so the symbol list threads through the fold joined by chr(30) —
 tokens are [a-z0-9]-only, so the separator can't collide).
 
 Reference parity anchor: none — the reference has no tokenizer machinery;
-its only text segmentation is ``str.split()`` word counting
-(``youtube_api_handler.py:1119``).
+its only string segmentation is delimiter ``str.split()`` over language
+codes and URLs (``youtube_api_handler.py:353,813-815``).
 """
 
 from __future__ import annotations

@@ -57,14 +57,13 @@ _SHINGLES_FROM_TOKS_DUCK = (
 def _shingled(docs: DataFrame, *extra_cols: str) -> DataFrame:
     """doc_id (+extras) with the distinct word-3-shingle array.
 
-    The input is repartitioned first: the test corpus arrives as a single
-    parquet split, which would serialize all shingling/hashing onto one
-    core. On a real cluster the scan has many splits and the repartition
-    is a near-no-op (small rows, narrow columns).
+    The input goes through ``spread()`` first: the test corpus arrives as
+    a single parquet split, which would serialize all shingling/hashing
+    onto one core. On a real cluster the scan already has many splits and
+    spread() is a guarded no-op (no shuffle).
     """
-    para = docs.sparkSession.sparkContext.defaultParallelism
     sh = (
-        docs.repartition(para)
+        spread(docs)
         .selectExpr("doc_id", *extra_cols, f"{_TOKS_SPARK} AS toks")
         .selectExpr("doc_id", *extra_cols, f"{_SHINGLES_FROM_TOKS_SPARK} AS shingles")
     )
@@ -755,18 +754,20 @@ def _posting_list(df: DataFrame, id_col: str) -> DataFrame:
       The rule skips outer generates, and the CASE WHEN shingle builder
       always yields a non-empty array, so the outer variant is
       semantically identical here.
-    - the repartition between the shingle projection and the explode is a
-      materialization barrier (CollapseProject cannot cross an Exchange,
-      so the shingle arrays evaluate exactly once in the map stage) and
-      fans the fixture's single parquet split across cores — the role
-      spread() plays elsewhere. _shingled() solves the same two problems
-      with a persist because its output feeds multiple consumers; this
-      one is consumed once."""
-    para = df.sparkSession.sparkContext.defaultParallelism
-    sh = (
+    - ``spread()`` between the shingle projection and the explode: on the
+      fixture's single parquet split it inserts an Exchange that both fans
+      the work across cores and acts as a materialization barrier
+      (CollapseProject cannot cross an Exchange, so the shingle arrays
+      evaluate exactly once in the map stage). On a multi-split cluster
+      scan spread() is a no-op — safe, because CollapseProject refuses to
+      inline a non-cheap alias referenced more than once (SPARK-36718;
+      ``toks`` appears 3× inside the shingle lambda), so the one-regex-
+      split-per-row property holds without the Exchange. _shingled()
+      solves the same problems with a persist because its output feeds
+      multiple consumers; this one is consumed once."""
+    sh = spread(
         df.selectExpr(id_col, f"{_TOKS_SPARK} AS toks")
         .selectExpr(id_col, f"{_SHINGLES_FROM_TOKS_SPARK} AS shingles")
-        .repartition(para)
     )
     return sh.select(id_col, F.explode_outer("shingles").alias("shingle"))
 

@@ -35,7 +35,8 @@ collisions are the only false-positive source (2^-128, ignorable).
 
 Reference parity anchor: the reference has no substring machinery at all —
 its closest text op is the description e-mail regex
-(``youtube_api_handler.py:705-712``); this module exists for the
+(``_extract_email_from_text``, ``youtube_api_handler.py:848-857``);
+this module exists for the
 100-TB training-corpus mandate, not reference parity.
 """
 

@@ -93,15 +93,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's default parallelism.
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Fan a narrow input across the session's cores — only when needed.
 
-    The small test tables arrive as a single parquet split; expression-heavy
-    map work (hashing, regex, array transforms) would otherwise serialize on
-    one core. On a real cluster scans have many splits and callers skip this
-    (or it is a cheap narrow shuffle of small rows).
+    The small test fixtures arrive as a single parquet split, which would
+    serialize expression-heavy map work (hashing, regex, array transforms)
+    onto one core. A real cluster scan already arrives as many splits, and
+    an unconditional round-robin repartition there would be a full-corpus
+    shuffle bought for nothing — so this is a NO-OP whenever the plan
+    already yields >= the target partition count and the scan's natural
+    splits flow straight into the map work (plan-pinned:
+    ``tests/test_scale_plans.py::test_spread_noop_on_multisplit_input``
+    asserts no round-robin Exchange appears on a multi-split input).
+
+    The partition probe (``df.rdd.getNumPartitions()``) runs the physical
+    planner once on the driver but launches no job; for the scan-shaped
+    inputs this guards it is file-listing already done by ``load_table``.
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

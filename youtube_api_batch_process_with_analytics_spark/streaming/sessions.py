@@ -13,6 +13,17 @@ passes its close — the contract a downstream sink (parquet/Delta append)
 needs. ``tests/test_streaming.py`` pins that emitted sessions are
 byte-identical to the batch operator's rows and that every session the
 watermark has passed is emitted.
+
+Lateness bound: the watermark trails the max observed event time by
+``WATERMARK_DELAY`` — an event arriving in a later micro-batch is still
+incorporated into its session as long as it is less than that much behind
+the stream's frontier; anything older is dropped by design (that is the
+state-eviction contract that keeps per-user state bounded). With a
+``0 seconds`` delay any cross-batch reordering is droppable, so the
+default is one hour; ``tests/test_streaming.py::
+test_sessionization_multibatch_out_of_order`` forces one-file-per-trigger
+micro-batches to pin both sides of the bound (in-bound late event merges,
+out-of-bound event is discarded).
 """
 
 from __future__ import annotations
@@ -22,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..operators.windows import SESSION_GAP_HOURS
 
-WATERMARK_DELAY = "0 seconds"
+WATERMARK_DELAY = "1 hour"
 
 
 def user_sessions_stream(
