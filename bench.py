@@ -87,17 +87,38 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = {
+        "metric": "suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full per-query detail goes to a file (the driver's stdout capture
+    # keeps only the last ~2000 chars, and the full dict outgrew it in
+    # round 4 — `parsed: null`); stdout's FINAL line is a compact summary
+    # that always fits the tail window, carrying as many of the slowest
+    # per-query timings as fit.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    compact = {
+        "metric": "suite_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries_full": "BENCH_DETAIL.json",
+        "sf": payload["sf"],
+        "queries": {},
+    }
+    for name in sorted(timings, key=timings.get, reverse=True):
+        compact["queries"][name] = timings[name]
+        if len(json.dumps(compact)) > 1500:
+            del compact["queries"][name]
+            break
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -8,6 +8,8 @@ compare scores within 1e-9 and require identical neighbor rankings.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from youtube_api_batch_process_with_analytics_spark.operators.similarity import (
     ann_cosine_topk,
     cosine_topk_vectorized,
@@ -31,3 +33,48 @@ def test_vectorized_matches_fold(spark, sf_dir):
 
     t0_base = len(base)
     assert t0_base > 0
+
+
+def test_vectorized_local_topk_bounds_shuffle_volume(spark, sf_dir):
+    """The GEMM stage must emit only per-batch local top-(k+1) candidate
+    rows into the ranking shuffle — not all |Q|×N pairs. Upper bound:
+    n_arrow_batches × |Q| × (TOP_K + 1); with default Arrow batching the
+    fixture yields ≤ one batch per partition."""
+    from youtube_api_batch_process_with_analytics_spark.operators.similarity import (
+        QUERY_STRIDE,
+        TOP_K,
+        _vectorized_scored,
+    )
+    from youtube_api_batch_process_with_analytics_spark.sources import (
+        load_table,
+        spread,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    n = emb.count()
+    nq = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).count()
+    n_parts = emb.rdd.getNumPartitions()
+    arrow_batch = int(
+        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    )
+    n_batches = n_parts + n // max(arrow_batch, 1)
+
+    shuffled = _vectorized_scored(spark, sf_dir).count()
+    cap = n_batches * nq * (TOP_K + 1)
+    assert shuffled <= cap, (shuffled, cap)
+    # and the cut is real: far fewer rows than the full pair expansion
+    assert shuffled < nq * n, (shuffled, nq * n)
+
+
+def test_vectorized_bound_attestation_green(spark, sf_dir):
+    """The gated attestation rows: full top-k per query, within bound."""
+    from youtube_api_batch_process_with_analytics_spark.operators.similarity import (
+        TOP_K,
+        ann_vectorized_bound,
+    )
+
+    rows = ann_vectorized_bound(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_ranked == TOP_K, r
+        assert r.vec_within_bound is True, r

@@ -271,9 +271,15 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical operation order, so doubles match bitwise.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    toked = docs.select("doc_id", _tokens().alias("toks")).filter(
-        F.size("toks") >= 2
-    )
+    return _bigram_lm_scores(docs.select("doc_id", _tokens().alias("toks")))
+
+
+def _bigram_lm_scores(toked_in: DataFrame) -> DataFrame:
+    """Bigram-LM scoring over an already-tokenized ``(doc_id, toks)``
+    frame — split out so composite pipelines (``curation_pipeline_v2``)
+    can feed the SAME tokenized scan to this leg and their own legs
+    instead of re-reading and re-tokenizing the corpus per leg."""
+    toked = toked_in.filter(F.size("toks") >= 2)
     occ = (
         toked.select(
             "doc_id",

@@ -248,18 +248,16 @@ ORDER BY query_id, rank
 """
 
 
-def cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production kernel for the brute-force path: Arrow-batched
-    ``mapInPandas`` scoring each partition's vectors against the broadcast
-    query matrix with one numpy matmul — no per-pair row expansion at all.
-
-    At 100 TB this is the shape that wins: the scan side streams through
-    executors partition-by-partition, each Arrow batch is one
-    (batch × dim) @ (dim × |Q|) GEMM, and only (query, candidate) rows
-    with their scores reach the ranking shuffle. Per-element float
-    summation order inside the GEMM differs from a sequential fold, so
-    this variant is verified against the fold-exact `ann_cosine_topk`
-    within 1e-9 (test_similarity_vectorized) rather than hash-matched.
+def _vectorized_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched GEMM scoring stage with PER-BATCH LOCAL TOP-K: each
+    batch emits only its ``TOP_K + 1`` best candidates per query (numpy
+    ``argpartition``), so the ranking shuffle carries ~|Q|·(k+1) rows per
+    Arrow batch instead of all |Q|×batch pairs — a ~N/k shuffle-volume cut
+    at corpus scale. The +1 slot absorbs the self-pair (query_id ==
+    neighbor_id), which is filtered after the kernel; with it, every
+    global top-k row is guaranteed to survive its batch's local cut
+    (global top-k ⊆ union of per-batch top-k, and the self-pair can evict
+    at most one candidate in exactly one batch).
     """
     import numpy as np
     import pandas as pd
@@ -280,6 +278,7 @@ def cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_schema = (
         "query_id long, neighbor_id long, label int, cosine double"
     )
+    keep = TOP_K + 1
 
     def score(batches):
         ids, mat, nrm = bq.value
@@ -292,18 +291,41 @@ def cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_ids = pdf["vec_id"].to_numpy()
             labels = pdf["label"].to_numpy()
             nb, nq = cos.shape
+            if nb > keep:
+                rows = np.argpartition(-cos, keep - 1, axis=0)[:keep]
+            else:
+                rows = np.repeat(np.arange(nb)[:, np.newaxis], nq, 1)
+            cols = np.repeat(np.arange(nq)[np.newaxis, :], rows.shape[0], 0)
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(ids[np.newaxis, :], nb, 0).ravel(),
-                    "neighbor_id": np.repeat(n_ids, nq),
-                    "label": np.repeat(labels, nq),
-                    "cosine": np.round(cos.ravel(), 6),
+                    "query_id": ids[cols.ravel()],
+                    "neighbor_id": n_ids[rows.ravel()],
+                    "label": labels[rows.ravel()],
+                    "cosine": np.round(cos[rows, cols].ravel(), 6),
                 }
             )
 
-    scored = emb.mapInPandas(score, out_schema).filter(
+    return emb.mapInPandas(score, out_schema).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
+
+
+def cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production kernel for the brute-force path: Arrow-batched
+    ``mapInPandas`` scoring each partition's vectors against the broadcast
+    query matrix with one numpy matmul — no per-pair row expansion at all.
+
+    At 100 TB this is the shape that wins: the scan side streams through
+    executors partition-by-partition, each Arrow batch is one
+    (batch × dim) @ (dim × |Q|) GEMM, and only each batch's local top-k
+    candidate rows reach the ranking shuffle (see ``_vectorized_scored``).
+    Per-element float summation order inside the GEMM differs from a
+    sequential fold, so this variant is verified against the fold-exact
+    `ann_cosine_topk` within 1e-9 (test_similarity_vectorized) and gated
+    through the ``ann_vectorized_bound`` attestation rather than
+    hash-matched directly.
+    """
+    scored = _vectorized_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -318,12 +340,93 @@ def cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rank-wise cosine agreement bound between the GEMM kernel and the fold-
+# exact baseline. Unrounded, the two differ by float summation order only
+# (≤ ~1e-12 relative; tested at 1e-9). Both paths then round to 6 dp, so a
+# value within 1e-9 of a rounding boundary may flip by one 1e-6 step, and
+# one flip can swap two adjacent ranks — rank-wise that is ≤ ~3e-6; 1e-5
+# leaves slack for double representation while still catching any real
+# kernel defect (wrong norm, transposed GEMM, dropped candidate), which
+# shows up at ≥ 1e-3.
+VEC_COS_BOUND = 1e-5
+
+
+def ann_vectorized_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate attestation for the vectorized kernel (the sketch contract,
+    sketches.py pattern): per query, the exact top-1 neighbor/cosine from
+    the fold-exact path (DuckDB-recomputable) plus deterministic booleans
+    that the GEMM kernel returned a full top-k whose rank-wise cosines sit
+    within ``VEC_COS_BOUND`` of the exact ones. A kernel regression
+    (missing candidates, wrong scores) turns ``n_ranked`` or
+    ``vec_within_bound`` red."""
+    fold = ann_cosine_topk(spark, sf_dir).select(
+        "query_id",
+        "rank",
+        F.col("neighbor_id").alias("exact_neighbor_id"),
+        F.col("cosine").alias("exact_cosine"),
+    )
+    vec = cosine_topk_vectorized(spark, sf_dir).select(
+        "query_id", "rank", F.col("cosine").alias("vec_cosine")
+    )
+    return (
+        fold.join(vec, ["query_id", "rank"])
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_ranked"),
+            F.max(F.when(F.col("rank") == 1, F.col("exact_neighbor_id"))).alias(
+                "exact_top1_neighbor"
+            ),
+            F.max(F.when(F.col("rank") == 1, F.col("exact_cosine"))).alias(
+                "exact_top1_cosine"
+            ),
+            (
+                F.max(F.abs(F.col("vec_cosine") - F.col("exact_cosine")))
+                <= VEC_COS_BOUND
+            ).alias("vec_within_bound"),
+        )
+    )
+
+
+ORACLE_ANN_VECTORIZED_BOUND = f"""
+WITH emb AS (
+  SELECT vec_id, embedding, label FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM emb
+  WHERE vec_id % {QUERY_STRIDE} = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND({_DUCK_DOT.format(a="q.qvec", b="e.embedding")}
+               / ({_DUCK_NORM.format(a="q.qvec")}
+                  * {_DUCK_NORM.format(a="e.embedding")}), 6) AS cosine
+  FROM q JOIN emb e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT query_id,
+       CAST({TOP_K} AS BIGINT) AS n_ranked,
+       MAX(CASE WHEN rank = 1 THEN neighbor_id END) AS exact_top1_neighbor,
+       MAX(CASE WHEN rank = 1 THEN cosine END) AS exact_top1_cosine,
+       TRUE AS vec_within_bound
+FROM ranked WHERE rank <= {TOP_K}
+GROUP BY query_id
+ORDER BY query_id
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_vectorized_bound": ann_vectorized_bound,
 }
 
 ORACLES = {
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
+    "ann_vectorized_bound": ORACLE_ANN_VECTORIZED_BOUND,
 }

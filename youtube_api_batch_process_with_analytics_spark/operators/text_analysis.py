@@ -553,7 +553,7 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional sums in one aggregation; the only corpus-order shuffle
     beyond the LM stats is the dedup fingerprint window.
     """
-    from .ranking import TOKEN_SPLIT_RE, bigram_lm_quality
+    from .ranking import TOKEN_SPLIT_RE, _bigram_lm_scores
     from .sampling import SAMPLE_SALT, SAMPLE_THRESHOLD
 
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -562,25 +562,31 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda t: t != "",
     )
     sampled = F.col("bucket") < SAMPLE_THRESHOLD
+    # ONE tokenized pass over the corpus, shared by the LM leg and the
+    # mode-share/fingerprint leg (the LM stage previously re-read and
+    # re-tokenized the whole corpus as a sub-pipeline — a duplicate scan
+    # plus spread exchange). Lazy localCheckpoint materializes it once.
+    toked = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
+        F.substring(
+            F.md5(
+                F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))
+            ),
+            1,
+            8,
+        ).alias("bucket"),
+        toks.alias("toks"),
+    ).localCheckpoint(eager=False)
     base = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
-            F.substring(
-                F.md5(
-                    F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))
-                ),
-                1,
-                8,
-            ).alias("bucket"),
-            toks.alias("toks"),
-        )
         # modal-token share is O(distinct·n) per doc; only sampled rows
         # can pass the quality conjunction, so skip the other 75%
-        .withColumn("mode_share", F.when(sampled, _mode_token_share()))
+        toked.withColumn("mode_share", F.when(sampled, _mode_token_share()))
         .join(
-            bigram_lm_quality(spark, sf_dir).select("doc_id", "lm_score"),
+            _bigram_lm_scores(toked.select("doc_id", "toks")).select(
+                "doc_id", "lm_score"
+            ),
             "doc_id",
             "left",
         )
@@ -596,27 +602,23 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("mode_share") <= FUNNEL2_MODE_SHARE_MAX)
         ).alias("quality"),
     )
-    surv = (
-        flagged.filter(F.col("quality"))
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
-            ),
-        )
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", F.lit(True).alias("survivor"))
+    # First-occurrence survivorship WITHOUT a self-join: partitioning the
+    # window by (fp, quality) makes row 1 of the quality=true slice exactly
+    # the lowest-doc_id quality row per fingerprint — the dedup_exact rule.
+    # The previous filter→window→join-back shape referenced `flagged`
+    # twice, which duplicated the whole LM sub-plan in the physical tree
+    # (18 static exchanges); this is one window pass, LM leg planned once.
+    surv_rn = F.row_number().over(
+        Window.partitionBy("fp", "quality").orderBy(F.col("doc_id").asc())
     )
     return (
-        flagged.join(surv, "doc_id", "left")
+        flagged.withColumn("survivor", F.col("quality") & (surv_rn == 1))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.col("sampled").cast("long")).alias("n_sampled"),
             F.sum(F.col("quality").cast("long")).alias("n_quality"),
-            F.sum(F.coalesce(F.col("survivor"), F.lit(False)).cast("long")).alias(
-                "n_survivors"
-            ),
+            F.sum(F.col("survivor").cast("long")).alias("n_survivors"),
         )
     )
 
