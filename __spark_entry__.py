@@ -71,7 +71,61 @@ def entry(spark: SparkSession) -> DataFrame:
 # dict order (CORRECTNESS_r02.json covered indices 0-49 exactly). With more
 # than 50 queries implemented, these are deliberately ordered last. The
 # tail ROTATES between rounds so every query earns a current-round gate row
-# within any two consecutive rounds: round 3's tail (dim_broadcast_join,
+# within any two consecutive rounds.
+#
+# ROUND-5 ROTATION (this round): all 35 round-4 tail queries are promoted
+# back into the head (each now earns a CORRECTNESS_r05 row, completing the
+# r4 ∪ r5 coverage contract), joined by the new ann_vectorized_bound
+# (first driver row) and 14 keepers from the round-4 head:
+#   channel_video_metrics (flagship; sole gate for A1/A2/A4 grouped
+#     metrics), log_page (sole gate for the T2/F4/F5/F6 filter+offset
+#     surface), curation_pipeline_v2 + bigram_lm_quality (restructured
+#     this round — shared tokenized scan, windowed survivorship — so they
+#     need fresh driver rows), duplicate_spans + export_pipeline (spans
+#     family anchors; export also composes chunk/pack/shards),
+#     bpe_merges (BPE family anchor), kmeans_cells (the fitting job the
+#     demoted IVF/PQ queries consume), quota_latch_final (the one query
+#     driving the real streaming engine), rss_xml_roundtrip (sole S4/P4
+#     XML source query), events_asof_latest_order (as-of temporal join),
+#     revenue_rollup (ROLLUP/grouping-sets anchor), approx_usage_sketch
+#     (sketch attestation contract), email_topic_projection (P6/P7 email
+#     regex surface, which redact_pii shares).
+# The 36 demoted queries below are ALL hash-green in CORRECTNESS_r04.json
+# (this round's GATECHECK_r05.txt replica re-attests them), and each
+# leaves its family covered in the head:
+#   dim_broadcast_join → semi_join_lookup (J4); key_rotation_least_used →
+#   key_rotation_round_robin (ST4); hourly_usage_windows →
+#   daily_usage_windows (ST2); doc_repetition_stats + doc_text_stats →
+#   curation_pipeline_v2 / corpus_curation_funnel (same score + mode-share
+#   machinery); winnowing_fingerprints → doc_fingerprint; language_id →
+#   language_distribution + language_mode + language_fallback_resolution;
+#   redact_pii → email_topic_projection (same EMAIL_PATTERN);
+#   dedup_connected_components → dedup_exact/minhash/simhash/embedding
+#   (+ the dedicated checkpoint-convergence pytest); benchmark_
+#   contamination → ngram_jaccard_pairs (same shingle posting lists);
+#   remove_duplicate_spans/doc_novelty/source_overlap_matrix →
+#   duplicate_spans + export_pipeline; bpe_fertility/pack_sequences_bpe →
+#   bpe_merges; chunk_documents/split_by_hash/pack_sequences →
+#   export_pipeline (composes all three) + the NULL-text differential
+#   pytest; ann_ivf_kmeans/pq_codes → kmeans_cells + ann_cosine_topk;
+#   ann_ivf_topk → ann_cosine_topk + ann_vectorized_bound;
+#   corpus_sample_hash → curation_pipeline_v2 (same salt+bucket);
+#   stratified_sample/mixture_temperature_sample → sampling family via
+#   corpus-hash machinery + test_sampling_ranking differentials;
+#   global_shuffle_shards → export_pipeline (shares the shard
+#   assignment, agreement pinned); token_budget_allocation → waterfill
+#   fuzz differential (test_property_fuzz); tfidf_top_terms/bm25_search →
+#   bigram_lm_quality (ranking family); media_metadata_stats/media_resize/
+#   media_frame_sample → media_decode_features (same mapInPandas
+#   plumbing); video_type_distribution → channel_type_classification (A3);
+#   duration_parse → video_format_flat + json_props_metrics (§2.8);
+#   batch_union_envelope → set_ops_user_cohorts (§2.7);
+#   channel_format_flat → channel_video_metrics + channel_by_handle +
+#   final_metrics_struct; pricing_summary → channel_video_metrics (A4
+#   grouped decimal aggregates; r4-green, replica-attested).
+#
+# HISTORY (rounds 3-4), kept for the audit trail: round 3's tail
+# (dim_broadcast_join,
 # hourly_usage_windows, media_resize, media_frame_sample,
 # batch_union_envelope, email_topic_projection, video_type_distribution,
 # duration_parse) is back in the head this round, and the round-4 tail
@@ -149,41 +203,42 @@ def entry(spark: SparkSession) -> DataFrame:
 #     (J3), both head this round (r1-r3 green), displaced by
 #     pack_sequences_bpe.
 _GATE_TAIL = [
-    "enrichment_join",
-    "language_fallback_resolution",
-    "video_format_flat",
-    "channel_by_handle",
-    "corpus_curation_funnel",
-    "dedup_minhash_lsh",
-    "media_decode_features",
-    "dedup_embedding_cosine",
-    "json_props_metrics",
-    "user_sessions",
-    "daily_usage_windows",
-    "key_rotation_round_robin",
-    "cache_status_rollup",
-    "daily_event_pivot",
-    "log_level_stats",
-    "ngram_jaccard_pairs",
-    "set_ops_user_cohorts",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "language_distribution",
-    "pagination_meta",
-    "top_loggers",
-    "recent_level_stats",
-    "retention_cleanup",
-    "channel_type_classification",
-    "final_metrics_struct",
-    "language_mode",
-    "rolling_daily_average",
-    "key_usage_rollup",
-    "cache_ttl_filter",
-    "distinct_usage_stats",
-    "dedup_exact",
-    "semi_join_lookup",
-    "events_in_order_window",
-    "doc_fingerprint",
+    "dim_broadcast_join",
+    "key_rotation_least_used",
+    "hourly_usage_windows",
+    "doc_repetition_stats",
+    "winnowing_fingerprints",
+    "doc_text_stats",
+    "language_id",
+    "redact_pii",
+    "dedup_connected_components",
+    "benchmark_contamination",
+    "remove_duplicate_spans",
+    "doc_novelty",
+    "source_overlap_matrix",
+    "bpe_fertility",
+    "pack_sequences_bpe",
+    "chunk_documents",
+    "split_by_hash",
+    "pack_sequences",
+    "ann_ivf_kmeans",
+    "pq_codes",
+    "corpus_sample_hash",
+    "stratified_sample",
+    "mixture_temperature_sample",
+    "global_shuffle_shards",
+    "token_budget_allocation",
+    "tfidf_top_terms",
+    "bm25_search",
+    "ann_ivf_topk",
+    "media_metadata_stats",
+    "media_resize",
+    "media_frame_sample",
+    "video_type_distribution",
+    "duration_parse",
+    "batch_union_envelope",
+    "channel_format_flat",
+    "pricing_summary",
 ]
 
 

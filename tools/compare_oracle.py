@@ -49,9 +49,12 @@ def main():
     spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        # generated tiers (tools/make_sf1.py) write each table as a
+        # DIRECTORY of part files — the multi-split shape a real cluster
+        # scan has; glob them for DuckDB (Spark reads the dir natively)
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0

@@ -1,0 +1,120 @@
+"""Generate an sf1 fixture tier (~10x sf0.1) for scale-cliff checks.
+
+The shipped testdata stops at sf0.1; the gate's sf0.01 → sf0.1 step is one
+decade, and size-dependent cliffs (AQE plan flips, broadcast-threshold
+crossings, skew blow-ups) like to hide one decade further out. This builds
+sf1 inside the repo (gitignored — ~100 MB of parquet) by replicating sf0.1
+ten times with consistent key offsets, so every join/FK relationship and
+every modular query invariant (doc_id % 100 benchmark slice, vec_id % 50
+query stride) survives:
+
+- fact/dim keys shift by COPY_STRIDE per copy, consistently on both sides
+  of every FK (lineitem↔orders↔customer, lineitem↔part/supplier,
+  events.user_id, doc_id, vec_id); nation/region stay single-copy dims.
+- document text gets a per-copy token suffix (every whitespace token ->
+  token||i) and source a per-copy suffix: texts across copies then share
+  no shingles and no blocking keys, so LSH buckets, jaccard blocks, and
+  fingerprint posting lists stay copy-local — candidate volumes scale
+  LINEARLY with the corpus like a real 10x crawl, instead of
+  quadratically like naive row duplication would force.
+- embeddings replicate vectors unchanged (ties broken by vec_id, already
+  deterministic); labels keep the cell structure at 10x occupancy.
+
+Every table is written as a DIRECTORY of per-copy part files — the
+multi-split scan shape a real cluster sees, which also exercises the
+spread() no-op path end-to-end (tests/test_scale_plans.py pins the plan;
+this tier pins it at the data level).
+
+The correctness contract is unchanged: the gate compares Spark vs DuckDB
+on the SAME files, so the tier needs no distributional fidelity to the
+driver's generator — only schema fidelity and self-consistency.
+
+Usage: python tools/make_sf1.py [out_dir]   (default: <repo>/testdata_sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+COPY_STRIDE = 10_000_000  # multiple of every modular invariant in queries
+
+# table -> list of BIGINT key columns to offset per copy
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "embeddings": ["vec_id"],
+}
+SINGLE_COPY = ("region", "nation")  # bounded dims, FK targets unchanged
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "testdata_sf1",
+    )
+    con = duckdb.connect()
+    for t in SINGLE_COPY:
+        d = os.path.join(out, f"{t}.parquet")
+        os.makedirs(d, exist_ok=True)
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO "
+            f"'{d}/part_0.parquet' (FORMAT PARQUET)"
+        )
+    for t, keys in KEY_COLS.items():
+        d = os.path.join(out, f"{t}.parquet")
+        os.makedirs(d, exist_ok=True)
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
+        for i in range(COPIES):
+            sel = ", ".join(
+                f"{c} + {i * COPY_STRIDE} AS {c}" if c in keys else c
+                for c in cols
+            )
+            con.execute(
+                f"COPY (SELECT {sel} FROM '{SRC}/{t}.parquet') TO "
+                f"'{d}/part_{i}.parquet' (FORMAT PARQUET)"
+            )
+    # documents: offset doc_id, suffix every token and the blocking key so
+    # dedup/jaccard/contamination candidate volume scales linearly
+    d = os.path.join(out, "documents.parquet")
+    os.makedirs(d, exist_ok=True)
+    for i in range(COPIES):
+        con.execute(
+            f"""
+COPY (
+  SELECT doc_id + {i * COPY_STRIDE} AS doc_id,
+         array_to_string(
+           list_transform(
+             regexp_split_to_array(text, '[\\t\\n\\x0b\\f\\r ]+'),
+             t -> t || '{i}'),
+           ' ') AS text,
+         lang,
+         source || '_{i}' AS source,
+         CAST(LENGTH(array_to_string(
+           list_transform(
+             regexp_split_to_array(text, '[\\t\\n\\x0b\\f\\r ]+'),
+             t -> t || '{i}'),
+           ' ')) AS BIGINT) AS n_chars
+  FROM '{SRC}/documents.parquet'
+) TO '{d}/part_{i}.parquet' (FORMAT PARQUET)
+"""
+        )
+    sizes = {}
+    for t in list(SINGLE_COPY) + list(KEY_COLS) + ["documents"]:
+        sizes[t] = con.execute(
+            f"SELECT COUNT(*) FROM '{out}/{t}.parquet/*.parquet'"
+        ).fetchone()[0]
+    print({"out": out, "rows": sizes})
+
+
+if __name__ == "__main__":
+    main()
