@@ -59,8 +59,14 @@ FEATURE_SCHEMA = T.StructType(
 def make_media_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """Build a synthetic media table from ``documents`` (deterministic):
     the text bytes stand in for an encoded blob. Demonstrates the binary
-    column + typed metadata layout."""
-    return docs.select(
+    column + typed metadata layout.
+
+    Docs with NULL text yield NO media row (a crawler emits nothing for a
+    document with no payload) — the NULL-content alternative would force
+    nullable INT metadata columns through the oracle's pandas fetch (the
+    float64 coercion trap) and a decode path no real codec has.
+    Mirrored by ``AND text IS NOT NULL`` in every media oracle."""
+    return docs.filter(F.col("text").isNotNull()).select(
         F.col("doc_id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -194,7 +200,7 @@ ORACLE_MEDIA_METADATA_STATS = f"""
 WITH media AS (
   SELECT doc_id AS media_id, {_DUCK_MEDIA_TYPE} AS media_type,
          CAST({_DUCK_NBYTES} AS BIGINT) AS n_bytes
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT media_type, COUNT(*) AS n_items,
        CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
@@ -245,7 +251,8 @@ SELECT doc_id AS media_id,
        CAST(64 + {_DUCK_BYTE1} AS INT) AS height,
        CAST({_DUCK_NBYTES} AS BIGINT) AS n_bytes,
        ROUND(CAST(CAST(CAST({_DUCK_BYTE0} AS DOUBLE) / 255.0 AS REAL) AS DOUBLE), 6) AS f0
-FROM documents ORDER BY media_id
+FROM documents WHERE text IS NOT NULL
+ORDER BY media_id
 """
 
 
@@ -275,7 +282,7 @@ ORACLE_MEDIA_RESIZE = f"""
 SELECT doc_id AS media_id, 224 AS target_width, 224 AS target_height,
        md5(text[1:{_RESIZE_SLICE}]) AS resized_md5,
        CAST(LEAST({_DUCK_NBYTES}, {_RESIZE_SLICE}) AS BIGINT) AS resized_bytes
-FROM documents WHERE doc_id % 3 = 0
+FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
 ORDER BY media_id
 """
 
@@ -299,7 +306,7 @@ ORACLE_MEDIA_FRAME_SAMPLE = f"""
 WITH vids AS (
   SELECT doc_id AS media_id, text,
          LEAST(4, GREATEST(1, {_DUCK_NBYTES} // 64)) AS n_frames
-  FROM documents WHERE doc_id % 3 = 2
+  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL
 ),
 idx AS (
   SELECT media_id, text, CAST(unnest(generate_series(0, n_frames - 1)) AS INT) AS frame_idx

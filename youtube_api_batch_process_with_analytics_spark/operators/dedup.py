@@ -36,7 +36,10 @@ JACCARD_THRESHOLD = 0.5
 # Tokenizing once matters: referencing split(...) inside the per-element
 # lambda would re-run the regex split for every shingle (O(tokens²) regex
 # work per document — measured 30× slower at sf0.1).
-_TOKS_SPARK = "split(trim(text), '\\\\s+')"
+# coalesce first: NULL text must shingle exactly like '' on both engines
+# (bare split(trim(NULL)) is a NULL array -> size -1 / NULL len divergence;
+# caught by the hostile-corpus differential)
+_TOKS_SPARK = "split(trim(coalesce(text, '')), '\\\\s+')"
 _SHINGLES_FROM_TOKS_SPARK = (
     "array_distinct(CASE WHEN size(toks) >= 3 THEN "
     "transform(sequence(1, size(toks) - 2), "
@@ -45,7 +48,9 @@ _SHINGLES_FROM_TOKS_SPARK = (
     "ELSE array(concat_ws(' ', toks)) END)"
 )
 
-_TOKS_DUCK = "regexp_split_to_array(trim(text), '[\\t\\n\\x0b\\f\\r ]+')"
+_TOKS_DUCK = (
+    "regexp_split_to_array(trim(coalesce(text, '')), '[\\t\\n\\x0b\\f\\r ]+')"
+)
 _SHINGLES_FROM_TOKS_DUCK = (
     "list_distinct(CASE WHEN len(toks) >= 3 "
     "THEN list_transform(generate_series(1, len(toks) - 2), "

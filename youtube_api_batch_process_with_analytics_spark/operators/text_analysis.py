@@ -32,16 +32,23 @@ LANG_MARKERS = {
 
 PUNCT_CLASS = "[^.,!?;:]"
 BPE_TOKEN_RE = r"\w+|[^\w\s]"
+# DuckDB twin of BPE_TOKEN_RE: RE2's \s lacks \x0b (vertical tab), so the
+# oracle spells out the exact Java \s class (same fix as the tokenizer split)
+BPE_TOKEN_RE_DUCK = r"\w+|[^\w\t\n\x0b\f\r ]"
 
 
 def _tokens(col: str = "text"):
-    return F.split(F.trim(F.col(col)), r"\s+")
+    # coalesce first: NULL text must behave exactly like '' (split -> [''])
+    # on BOTH engines; bare split(trim(NULL)) gives a NULL array whose
+    # size() is -1 with ANSI off — the cross-engine divergence the hostile-
+    # corpus differential (tests/test_hostile_corpus.py) exists to catch.
+    return F.split(F.trim(F.coalesce(F.col(col), F.lit(""))), r"\s+")
 
 
 def _marker_hits(lang: str):
     markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
     return F.expr(
-        f"size(filter(split(trim(text), '\\\\s+'),"
+        f"size(filter(split(trim(coalesce(text, '')), '\\\\s+'),"
         f" t -> array_contains(array({markers}), t)))"
     ).cast("long")
 
@@ -57,18 +64,24 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     stop = ", ".join(f"'{s}'" for s in STOPWORDS)
     n_tokens = F.size(_tokens()).cast("long")
-    n_tokens_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)).cast("long")
-    n_chars = F.length("text").cast("long")
+    n_tokens_bpe = F.size(F.regexp_extract_all(F.coalesce(F.col("text"), F.lit("")), F.lit(BPE_TOKEN_RE), 0)).cast("long")
+    n_chars = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
     punct_ratio = F.round(
-        F.length(F.regexp_replace(F.col("text"), PUNCT_CLASS, "")) / n_chars, 6
+        F.try_divide(
+            F.length(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), PUNCT_CLASS, "")),
+            n_chars,
+        ), 6
     )
     stopword_hits = F.expr(
-        f"size(filter(split(trim(text), '\\\\s+'),"
+        f"size(filter(split(trim(coalesce(text, '')), '\\\\s+'),"
         f" t -> array_contains(array({stop}), t)))"
     ).cast("long")
-    stopword_ratio = F.round(stopword_hits / n_tokens, 6)
+    stopword_ratio = F.round(F.try_divide(stopword_hits, n_tokens), 6)
     avg_token_len = F.round(
-        F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / n_tokens, 6
+        F.try_divide(
+            F.length(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", "")),
+            n_tokens,
+        ), 6
     )
     quality = F.round(
         0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
@@ -90,15 +103,15 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DOC_TEXT_STATS = f"""
 WITH t AS (
-  SELECT doc_id, text,
-         regexp_split_to_array(trim(text), '[\\t\\n\\x0b\\f\\r ]+') AS toks,
-         LENGTH(text) AS n_chars_obs
+  SELECT doc_id, coalesce(text, '') AS text,
+         regexp_split_to_array(trim(coalesce(text, '')), '[\\t\\n\\x0b\\f\\r ]+') AS toks,
+         LENGTH(coalesce(text, '')) AS n_chars_obs
   FROM documents
 ),
 m AS (
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
-         CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT)
+         CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE_DUCK}')) AS BIGINT)
            AS n_tokens_bpe,
          CAST(n_chars_obs AS BIGINT) AS n_chars_obs,
          ROUND(LENGTH(regexp_replace(text, '{PUNCT_CLASS}', '', 'g'))
@@ -161,7 +174,7 @@ def _duck_markers(lang: str) -> str:
 
 ORACLE_LANGUAGE_ID = f"""
 WITH t AS (
-  SELECT doc_id, lang, regexp_split_to_array(trim(text), '[\\t\\n\\x0b\\f\\r ]+') AS toks
+  SELECT doc_id, lang, regexp_split_to_array(trim(coalesce(text, '')), '[\\t\\n\\x0b\\f\\r ]+') AS toks
   FROM documents
 ),
 s AS (
@@ -194,7 +207,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking key. Map-only; identical md5 on both engines.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    normalized = F.lower(
+        F.regexp_replace(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")
+    )
     fp = F.md5(normalized)
     return docs.select(
         "doc_id",
@@ -207,8 +222,8 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DOC_FINGERPRINT = """
 WITH n AS (
   SELECT doc_id,
-         md5(lower(regexp_replace(trim(text), '[\\t\\n\\x0b\\f\\r ]+', ' ', 'g'))) AS fingerprint,
-         LENGTH(lower(regexp_replace(trim(text), '[\\t\\n\\x0b\\f\\r ]+', ' ', 'g'))) AS nl
+         md5(lower(regexp_replace(trim(coalesce(text, '')), '[\\t\\n\\x0b\\f\\r ]+', ' ', 'g'))) AS fingerprint,
+         LENGTH(lower(regexp_replace(trim(coalesce(text, '')), '[\\t\\n\\x0b\\f\\r ]+', ' ', 'g'))) AS nl
   FROM documents
 )
 SELECT doc_id, fingerprint,
@@ -240,23 +255,28 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     n_tokens = F.size(_tokens()).cast("long")
-    n_chars = F.length("text").cast("long")
+    n_chars = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
     punct_ratio = F.round(
-        F.length(F.regexp_replace(F.col("text"), PUNCT_CLASS, "")) / n_chars, 6
+        F.try_divide(
+            F.length(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), PUNCT_CLASS, "")),
+            n_chars,
+        ), 6
     )
     stop = ", ".join(f"'{s}'" for s in STOPWORDS)
     stopword_hits = F.expr(
-        f"size(filter(split(trim(text), '\\\\s+'),"
+        f"size(filter(split(trim(coalesce(text, '')), '\\\\s+'),"
         f" t -> array_contains(array({stop}), t)))"
     ).cast("long")
-    stopword_ratio = F.round(stopword_hits / n_tokens, 6)
+    stopword_ratio = F.round(F.try_divide(stopword_hits, n_tokens), 6)
     quality = F.round(
         0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
         + 0.3 * (1.0 - punct_ratio)
         + 0.2 * F.least(stopword_ratio * 5.0, F.lit(1.0)),
         6,
     )
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    w = Window.partitionBy(
+        F.md5(F.coalesce(F.col("text"), F.lit("")))
+    ).orderBy("doc_id")
     flagged = docs.select(
         "source",
         quality.alias("q"),
@@ -284,9 +304,9 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CORPUS_CURATION_FUNNEL = f"""
 WITH t AS (
-  SELECT doc_id, text, lang, source,
-         regexp_split_to_array(trim(text), '[\\t\\n\\x0b\\f\\r ]+') AS toks,
-         LENGTH(text) AS n_chars
+  SELECT doc_id, coalesce(text, '') AS text, lang, source,
+         regexp_split_to_array(trim(coalesce(text, '')), '[\\t\\n\\x0b\\f\\r ]+') AS toks,
+         LENGTH(coalesce(text, '')) AS n_chars
   FROM documents
 ),
 scored AS (
