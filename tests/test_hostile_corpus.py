@@ -1,8 +1,19 @@
-"""Hostile-corpus differential: every document-consuming gated query must
-stay Spark↔DuckDB hash-identical on degenerate text the shipped fixtures
-never contain — NULL, empty, whitespace-only (incl. the vertical tab that
-Java's \\s matches and RE2's does not), single-token, and repeated-token
-documents.
+"""Hostile-corpus differential: every document- or event-consuming gated
+query must stay Spark↔DuckDB hash-identical on degenerate rows the shipped
+fixtures never contain — for documents: NULL, empty, whitespace-only
+(incl. the vertical tab that Java's \\s matches and RE2's does not),
+single-token, and repeated-token text; for events: NULL event_type/value/
+props, malformed and empty JSON, a NULL timestamp, an empty-string type,
+and a duplicated event_id.
+
+The events pass caught its own batch of latent divergences: NULL-ts rows
+silently dropped by Spark's window()/session_window but counted by the
+oracles' CASE..ELSE buckets (now an explicit shared ``ts IS NOT NULL``
+contract), DuckDB's json_extract erroring on malformed JSON where Spark's
+get_json_object yields NULL (now json_valid-guarded), a non-null-safe
+event_type join dropping the NULL group from the sketch attestation (now
+eqNullSafe), and a nullable SUM turning an oracle BIGINT column into
+float64 through the pandas fetch (now COALESCE(..., 0) on both engines).
 
 This is the systematic form of the ``chunk_documents`` NULL-text finding
 (round-4 ADVICE): with ANSI off, Spark's ``size(split(trim(NULL)))`` is -1
@@ -47,11 +58,33 @@ HOSTILE_ROWS = """
 """
 
 
+ZERO64 = "[" + ",".join(["0.0"] * 64) + "]"
+HOSTILE_EMB_ROWS = f"""
+    (6000000, CAST({ZERO64} AS FLOAT[]), 1),
+    (6000001, NULL, 2),
+    (6000002, CAST([] AS FLOAT[]), 3),
+    (6000003, CAST([1.5, 2.5] AS FLOAT[]), 1),
+    (6000050, CAST({ZERO64} AS FLOAT[]), 2)
+"""
+
+HOSTILE_EVENT_ROWS = """
+    (8000001, TIMESTAMP '2024-01-15 12:00:00', 77001, NULL, 5.0, '{"k": 1}'),
+    (8000002, TIMESTAMP '2024-01-15 12:01:00', 77001, 'error', NULL, '{"k": 2}'),
+    (8000003, TIMESTAMP '2024-01-15 12:02:00', 77002, 'click', 1.5, NULL),
+    (8000004, TIMESTAMP '2024-01-15 12:03:00', 77002, 'view', 2.5, 'not json at all'),
+    (8000005, TIMESTAMP '2024-01-15 12:04:00', 77003, 'view', 3.5, '{}'),
+    (8000006, TIMESTAMP '2024-01-15 12:05:00', 77003, 'view', 0.0, '{"k": null}'),
+    (8000007, NULL, 77004, 'error', 9.9, '{"k": 3}'),
+    (8000007, TIMESTAMP '2024-01-15 12:07:00', 77004, 'purchase', 9.9, '{"k": 4}'),
+    (8000009, TIMESTAMP '2024-01-15 12:08:00', 77005, '', -1.0, '{"k": -5}')
+"""
+
+
 @pytest.fixture(scope="module")
 def hostile_dir(sf_dir, tmp_path_factory):
     d = tmp_path_factory.mktemp("hostile")
     for t in TABLES:
-        if t != "documents":
+        if t not in ("documents", "events", "embeddings"):
             shutil.copy(f"{sf_dir}/{t}.parquet", d / f"{t}.parquet")
     con = duckdb.connect()
     try:
@@ -65,13 +98,40 @@ COPY (
 ) TO '{d}/documents.parquet' (FORMAT PARQUET)
 """
         )
+        con.execute(
+            f"""
+COPY (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+  FROM '{sf_dir}/events.parquet'
+  UNION ALL
+  SELECT * FROM (VALUES {HOSTILE_EVENT_ROWS}
+  ) t(event_id, ts, user_id, event_type, value, props)
+) TO '{d}/events.parquet' (FORMAT PARQUET)
+"""
+        )
+        con.execute(
+            f"""
+COPY (
+  SELECT * FROM '{sf_dir}/embeddings.parquet'
+  UNION ALL
+  SELECT * FROM (VALUES {HOSTILE_EMB_ROWS}
+  ) t(vec_id, embedding, label)
+) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
+"""
+        )
     finally:
         con.close()
     return str(d)
 
 
 def _doc_query_names():
-    return [n for n, sql in em.oracle_sql().items() if "documents" in sql.lower()]
+    return [
+        n
+        for n, sql in em.oracle_sql().items()
+        if "documents" in sql.lower()
+        or "events" in sql.lower()
+        or "embeddings" in sql.lower()
+    ]
 
 
 def test_hostile_corpus_full_differential(spark, hostile_dir):
@@ -119,3 +179,40 @@ def test_hostile_rows_actually_flow_through(spark, hostile_dir):
     assert len(rows) == 10
     empty_fp = {rows[i].fingerprint for i in (9000001, 9000002, 9000003, 9000100)}
     assert len(empty_fp) == 1  # NULL ≡ '' ≡ whitespace-only after normalize
+
+
+def test_fixture_embedding_dim_matches_contract(spark, sf_dir):
+    """EMB_DIM is the statically-configured vector dimension every
+    embedding operator validates against (an index-schema contract). If
+    the driver ever regenerates fixtures at another dimension, this fails
+    loudly instead of the hygiene gate silently dropping the whole table."""
+    from pyspark.sql import functions as F
+
+    from youtube_api_batch_process_with_analytics_spark.operators.similarity import (
+        EMB_DIM,
+    )
+    from youtube_api_batch_process_with_analytics_spark.sources import load_table
+
+    dims = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.size("embedding").alias("d"))
+        .distinct()
+        .collect()
+    )
+    assert {r.d for r in dims} == {EMB_DIM}
+
+
+def test_hostile_vectors_are_dropped_not_fatal(spark, hostile_dir):
+    """The hygiene gate drops exactly the degenerate vectors (NULL, empty,
+    wrong-dim, zero) and keeps every real one — previously any single such
+    row crashed the whole ANN/clustering job (ANSI div-by-zero, banding
+    index error, NaN in the GEMM kernel)."""
+    from youtube_api_batch_process_with_analytics_spark.operators.similarity import (
+        valid_embeddings,
+    )
+    from youtube_api_batch_process_with_analytics_spark.sources import load_table
+
+    emb = load_table(spark, hostile_dir, "embeddings")
+    kept = {r.vec_id for r in valid_embeddings(emb).select("vec_id").collect()}
+    assert not kept & {6000000, 6000001, 6000002, 6000003, 6000050}
+    assert len(kept) == emb.count() - 5

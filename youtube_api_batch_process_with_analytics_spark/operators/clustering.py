@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table, spread
+from .similarity import _DUCK_EMB_NONZERO as _EMB_VALID
 
 
 def _sq_dist(vec_col: str, centroid_lit) -> F.Column:
@@ -153,7 +154,9 @@ IVF_KM_QUERY_STRIDE = 50
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spread(load_table(spark, sf_dir, "embeddings")).select(
+    from .similarity import valid_embeddings
+
+    return valid_embeddings(spread(load_table(spark, sf_dir, "embeddings"))).select(
         "vec_id",
         "embedding",
         F.transform(
@@ -277,7 +280,7 @@ def oracle_kmeans_cells(
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qvec
-  FROM embeddings
+  FROM embeddings WHERE {_EMB_VALID}
 ),
 qx AS (
   SELECT vec_id, generate_subscripts(qvec, 1) AS pos, unnest(qvec) AS x
@@ -402,7 +405,7 @@ def oracle_ann_ivf_kmeans(
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qvec
-  FROM embeddings
+  FROM embeddings WHERE {_EMB_VALID}
 ),
 qx AS (
   SELECT vec_id, generate_subscripts(qvec, 1) AS pos, unnest(qvec) AS x
@@ -433,7 +436,7 @@ probed AS (
     FROM pd
   ) WHERE rn <= {IVF_KM_N_PROBE}
 ),
-raw AS (SELECT vec_id, embedding FROM embeddings),
+raw AS (SELECT vec_id, embedding FROM embeddings WHERE {_EMB_VALID}),
 scored AS (
   SELECT p.query_id, e.vec_id AS neighbor_id, a.cluster AS cell,
          ROUND({duck_dot.format(a="qe.embedding", b="e.embedding")}
@@ -540,7 +543,7 @@ def oracle_pq_codes(
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qvec
-  FROM embeddings
+  FROM embeddings WHERE {_EMB_VALID}
 ),
 allqx AS (
   SELECT vec_id, generate_subscripts(qvec, 1) AS pos, unnest(qvec) AS x

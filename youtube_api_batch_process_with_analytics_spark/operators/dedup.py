@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table, spread
+from .similarity import _DUCK_EMB_NONZERO as _EMB_VALID
 
 N_PERMUTATIONS = 8   # minhash signature length
 N_BANDS = 4          # bands of r = N_PERMUTATIONS / N_BANDS rows
@@ -428,7 +429,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("vec", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
         )
     )
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+    from .similarity import valid_embeddings
+
+    emb = valid_embeddings(
+        spread(load_table(spark, sf_dir, "embeddings"))
+    ).select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("vec")
     ).withColumn("nrm", norm)
     bucket_exprs = [
@@ -514,7 +519,7 @@ WITH emb AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
          {_DUCK_EMB_NORM.format(a="embedding")} AS nrm
-  FROM embeddings
+  FROM embeddings WHERE {_EMB_VALID}
 ),
 banded AS ({_duck_emb_bands()}),
 candidates AS (

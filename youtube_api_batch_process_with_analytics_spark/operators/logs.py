@@ -148,6 +148,10 @@ def recent_level_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for reproducibility; the anchor is a scalar subquery → broadcast.
     """
     df = _events(spark, sf_dir)
+    # NULL-ts rows have no age: excluded from retention accounting on both
+    # engines (previously Spark dropped them silently — neither kept nor
+    # deleted — while the oracle's CASE..ELSE counted them deleted).
+    df = df.filter(F.col("ts").isNotNull())
     anchor = df.agg(F.max("ts").alias("max_ts"))
     return (
         df.crossJoin(F.broadcast(anchor))
@@ -173,6 +177,10 @@ def retention_cleanup(spark: SparkSession, sf_dir: str, days: int = 7) -> DataFr
     ``DELETE WHERE`` + compaction.
     """
     df = _events(spark, sf_dir)
+    # NULL-ts rows have no age: excluded from retention accounting on both
+    # engines (previously Spark dropped them silently — neither kept nor
+    # deleted — while the oracle's CASE..ELSE counted them deleted).
+    df = df.filter(F.col("ts").isNotNull())
     anchor = df.agg(F.max("ts").alias("max_ts"))
     flagged = df.crossJoin(F.broadcast(anchor)).withColumn(
         "kept", F.col("ts") >= F.col("max_ts") - F.expr(f"INTERVAL {days} DAYS")
@@ -192,7 +200,8 @@ SELECT event_type AS level,
                 THEN 1 ELSE 0 END) AS BIGINT) AS kept_count,
        CAST(SUM(CASE WHEN ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
                 THEN 0 ELSE 1 END) AS BIGINT) AS deleted_count
-FROM events GROUP BY event_type ORDER BY level
+FROM events WHERE ts IS NOT NULL
+GROUP BY event_type ORDER BY level
 """
 
 

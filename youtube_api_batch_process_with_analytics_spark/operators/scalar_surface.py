@@ -211,7 +211,7 @@ def json_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_JSON_PROPS_METRICS = """
 WITH parsed AS (
   SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
   FROM events
 )
 SELECT event_type, COUNT(*) AS n_events,

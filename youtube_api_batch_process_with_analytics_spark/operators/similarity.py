@@ -33,6 +33,32 @@ IVF_TOP_K = 5
 N_PROBE = 2
 QUERY_STRIDE = 50  # vec_id % 50 == 0 → deterministic query subset
 
+# Fixture embedding dimensionality (tests pin the data matches; a 100 TB
+# deployment configures this statically, exactly like an index schema).
+EMB_DIM = 64
+
+
+def valid_embeddings(df: DataFrame, require_nonzero: bool = True) -> DataFrame:
+    """Vector-hygiene gate shared by every embedding consumer: drops NULL
+    vectors, wrong-dimension vectors, and (for cosine-based operators)
+    zero vectors — any one of which otherwise kills the whole job (ANSI
+    division by zero in cosine, ArrayIndexOutOfBounds in banding, NaN in
+    the GEMM kernel; all observed via the hostile-embeddings
+    differential). Map-only filter in codegen; DuckDB twins mirror it
+    with the ``_DUCK_EMB_*`` WHERE fragments. Zero vectors are dropped
+    everywhere by default: no direction for cosine, and degenerate encoder
+    output for clustering/quantization — one uniform corpus contract."""
+    ok = F.col("embedding").isNotNull() & (F.size("embedding") == EMB_DIM)
+    if require_nonzero:
+        ok = ok & F.expr("exists(embedding, x -> x <> 0.0)")
+    return df.filter(ok)
+
+
+_DUCK_EMB_VALID = f"embedding IS NOT NULL AND len(embedding) = {EMB_DIM}"
+_DUCK_EMB_NONZERO = (
+    _DUCK_EMB_VALID + " AND len(list_filter(embedding, x -> x <> 0)) > 0"
+)
+
 
 def _dot(a: str, b: str):
     """Sequential-fold dot product of two double arrays (deterministic)."""
@@ -66,7 +92,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     not dot + two norm folds.
     """
     emb = (
-        spread(load_table(spark, sf_dir, "embeddings"))
+        valid_embeddings(spread(load_table(spark, sf_dir, "embeddings")))
         .select("vec_id", _as_double_array("embedding").alias("vec"), "label")
         .withColumn("nrm", _norm("vec"))
     )
@@ -105,6 +131,7 @@ _DUCK_NORM = (
 ORACLE_ANN_COSINE_TOPK = f"""
 WITH emb AS (
   SELECT vec_id, embedding, label FROM embeddings
+  WHERE {_DUCK_EMB_NONZERO}
 ),
 q AS (
   SELECT vec_id AS query_id, embedding AS qvec FROM emb
@@ -140,7 +167,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent.
     """
     emb = (
-        spread(load_table(spark, sf_dir, "embeddings"))
+        valid_embeddings(spread(load_table(spark, sf_dir, "embeddings")))
         .select("vec_id", _as_double_array("embedding").alias("vec"), "label")
         .withColumn("nrm", _norm("vec"))
     )
@@ -198,6 +225,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ANN_IVF_TOPK = f"""
 WITH emb AS (
   SELECT vec_id, embedding, label FROM embeddings
+  WHERE {_DUCK_EMB_NONZERO}
 ),
 ex AS (
   SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS val
@@ -262,7 +290,7 @@ def _vectorized_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+    emb = valid_embeddings(spread(load_table(spark, sf_dir, "embeddings"))).select(
         "vec_id", "embedding", "label"
     )
     qrows = (
@@ -390,6 +418,7 @@ def ann_vectorized_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ANN_VECTORIZED_BOUND = f"""
 WITH emb AS (
   SELECT vec_id, embedding, label FROM embeddings
+  WHERE {_DUCK_EMB_NONZERO}
 ),
 q AS (
   SELECT vec_id AS query_id, embedding AS qvec FROM emb

@@ -51,9 +51,15 @@ def approx_usage_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Rank check needs one more pass over the values with the group's
     # approximate median attached. The join key is the event-type enum — a
-    # bounded domain, so the broadcast is safe at any corpus size.
+    # bounded domain, so the broadcast is safe at any corpus size. The
+    # join is NULL-SAFE: a NULL event_type is a real group out of the
+    # aggregation, and a plain equi-join would silently drop it (found by
+    # the hostile-events differential).
+    p50 = g.select(
+        F.col("event_type").alias("_et"), "_p50_approx"
+    )
     j = events.select("event_type", "value").join(
-        F.broadcast(g.select("event_type", "_p50_approx")), "event_type"
+        F.broadcast(p50), F.col("event_type").eqNullSafe(F.col("_et"))
     )
     ranks = j.groupBy("event_type").agg(
         (
@@ -66,8 +72,9 @@ def approx_usage_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_rank_lt"),
     )
     eps = F.lit(2.0 / PCT_ACCURACY) + 1.0 / F.col("n_events")
+    ranks = ranks.withColumnRenamed("event_type", "_ret")
     return (
-        g.join(ranks, "event_type")
+        g.join(ranks, F.col("event_type").eqNullSafe(F.col("_ret")))
         .select(
             "event_type",
             "n_events",

@@ -25,6 +25,11 @@ def daily_usage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, pct-of-quota, and the 90% warn flag (youtube_api_handler.py:287-289).
     """
     events = load_table(spark, sf_dir, "events")
+    # Explicit NULL-ts exclusion: an unstamped event cannot be placed in
+    # time. window()/session_window drop such rows silently; the filter
+    # makes the contract visible and the DuckDB twin mirrors it with
+    # WHERE ts IS NOT NULL (hostile-events differential).
+    events = events.filter(F.col("ts").isNotNull())
     return (
         events.groupBy(
             F.col("user_id").alias("key_id"),
@@ -56,7 +61,7 @@ SELECT user_id AS key_id,
        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS failures,
        ROUND(COUNT(*) / 10000 * 100.0, 2) AS quota_pct,
        COUNT(*) >= 9000 AS quota_warning
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY user_id, date_trunc('day', ts)
 ORDER BY key_id, day_start
 """
@@ -66,6 +71,7 @@ def hourly_usage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST2 hourly — global per-hour request counts with the hourly-quota
     admission flag (F2, youtube_api_handler.py:63-68)."""
     events = load_table(spark, sf_dir, "events")
+    events = events.filter(F.col("ts").isNotNull())  # see daily twin's note
     return (
         events.groupBy(F.window(F.col("ts"), "1 hour").alias("w"))
         .agg(
@@ -88,7 +94,7 @@ SELECT date_trunc('hour', ts) AS hour_start,
        COUNT(*) AS requests,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
        COUNT(*) < 1000 AS admitted
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY date_trunc('hour', ts)
 ORDER BY hour_start
 """
@@ -114,7 +120,10 @@ def key_usage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "succeeded"
             ),
             F.countDistinct(F.to_date("ts")).alias("active_days"),
-            F.sum("k").alias("total_k"),
+            # coalesce: a key whose payloads all fail to parse carries 0
+            # bytes, not NULL — and a nullable BIGINT would coerce the whole
+            # oracle column to float64 through the pandas fetch
+            F.coalesce(F.sum("k"), F.lit(0)).alias("total_k"),
         )
         .withColumn(
             "success_rate",
@@ -129,7 +138,7 @@ SELECT user_id AS key_id,
        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS failed,
        CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS succeeded,
        COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+       COALESCE(CAST(SUM(CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT)) AS BIGINT), 0)
          AS total_k,
        ROUND(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
              / COUNT(*) * 100.0, 2) AS success_rate
@@ -144,6 +153,8 @@ def cache_ttl_filter(spark: SparkSession, sf_dir: str, ttl_seconds: int = 1800) 
     returns live/expired tallies per event type (hit/miss bookkeeping A11).
     """
     events = load_table(spark, sf_dir, "events")
+    # an unstamped entry has no age — excluded on both engines
+    events = events.filter(F.col("ts").isNotNull())
     anchor = events.agg(F.max("ts").alias("now_ts"))
     flagged = events.crossJoin(F.broadcast(anchor)).withColumn(
         "live",
@@ -167,7 +178,8 @@ SELECT event_type AS entry_type,
        CAST(SUM(CASE WHEN (SELECT MAX(ts) FROM events)
                      < ts + INTERVAL 1800 SECOND THEN 0 ELSE 1 END) AS BIGINT)
          AS expired_entries
-FROM events GROUP BY event_type ORDER BY entry_type
+FROM events WHERE ts IS NOT NULL
+GROUP BY event_type ORDER BY entry_type
 """
 
 
@@ -186,6 +198,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands window chain (lag → flag → running sum → group).
     """
     events = load_table(spark, sf_dir, "events")
+    events = events.filter(F.col("ts").isNotNull())  # see daily twin's note
     sw = F.session_window(F.col("ts"), f"{SESSION_GAP_HOURS} hours")
     return (
         events.groupBy(F.col("user_id"), sw.alias("w"))
@@ -212,7 +225,7 @@ WITH flagged AS (
                    > INTERVAL {SESSION_GAP_HOURS} HOURS
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 numbered AS (
   SELECT *, SUM(new_session) OVER (
