@@ -271,3 +271,50 @@ def test_spread_noop_on_multisplit_input(spark, tmp_path):
 
     # Explicit floor override honored.
     assert spread(scan, min_partitions=10**6) is not scan
+
+
+def test_value_hash_invariant_to_input_layout(spark, sf_dir, tmp_path):
+    """Determinism under parallelism, pinned at the data level: the same
+    tables written as ONE file vs SEVEN uneven splits must produce
+    bit-identical value hashes for a representative slice of the gated
+    surface (window ops, salted joins, LSH self-joins, model fits, the
+    Arrow GEMM kernel — everything whose per-partition execution order
+    differs between the two layouts). This is the claim the README makes
+    ('the value-hash matches DuckDB at any partition count') as a test."""
+    import shutil
+
+    import __spark_entry__ as em
+    import tools.compare_oracle as co
+    from youtube_api_batch_process_with_analytics_spark.sources import TABLES
+
+    one = tmp_path / "layout1"
+    many = tmp_path / "layout7"
+    one.mkdir(), many.mkdir()
+    for t in TABLES:
+        src = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        shutil.copy(f"{sf_dir}/{t}.parquet", one / f"{t}.parquet")
+        # uneven split: range-ish repartition by an expression spreads rows
+        # across 7 files with different per-file orders than the original
+        src.repartition(7).write.mode("overwrite").parquet(
+            str(many / f"{t}.parquet")
+        )
+
+    sample = [
+        "hourly_usage_windows",     # calendar window agg
+        "user_sessions",            # session_window
+        "dedup_minhash_lsh",        # persist + band self-join
+        "bigram_lm_quality",        # salted joins + localCheckpoint
+        "pack_sequences",           # running-sum window packing
+        "stratified_sample",        # salted two-stage per-stratum top-k
+        "kmeans_cells",             # model FIT + assignment (refit per dir)
+        "duplicate_spans",          # posting lists + islands merge
+        "ann_vectorized_bound",     # Arrow GEMM batches split differently
+        "channel_video_metrics",    # flagship grouping-sets matrix
+    ]
+    qs = em.queries()
+    for name in sample:
+        a = qs[name](spark, str(one))
+        b = qs[name](spark, str(many))
+        ha = co.value_hash([tuple(r) for r in a.collect()], a.columns)
+        hb = co.value_hash([tuple(r) for r in b.collect()], b.columns)
+        assert ha == hb, f"{name}: layout-dependent result"
