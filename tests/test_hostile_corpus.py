@@ -6,6 +6,16 @@ single-token, and repeated-token text; for events: NULL event_type/value/
 props, malformed and empty JSON, a NULL timestamp, an empty-string type,
 and a duplicated event_id.
 
+The relational pass (orders/lineitem/customer: NULL keys, NULL dates,
+NULL measures, empty strings) caught: a NULL title/date/views nulling the
+ENTIRE synthesized RSS <entry> (element now omitted instead), channel
+analytics attributing videos with NULL channel keys inconsistently (now an
+explicit both-engine attribution contract: non-null channel key + publish
+date; falsy languages dropped exactly like the reference's
+`if audio_lang:`), and three oracle-only NULL-propagation gaps
+(topics/categories strings, has_description, un-coalesced view counts
+flipping oracle BIGINT columns to float64).
+
 The events pass caught its own batch of latent divergences: NULL-ts rows
 silently dropped by Spark's window()/session_window but counted by the
 oracles' CASE..ELSE buckets (now an explicit shared ``ts IS NOT NULL``
@@ -67,6 +77,23 @@ HOSTILE_EMB_ROWS = f"""
     (6000050, CAST({ZERO64} AS FLOAT[]), 2)
 """
 
+HOSTILE_ORDER_ROWS = """
+    (7000001, NULL, 'O', 100.5, TIMESTAMP '2024-01-10 00:00:00', '1-URGENT'),
+    (7000002, 1, NULL, NULL, NULL, NULL),
+    (7000003, 999999999, 'F', 0.0, TIMESTAMP '2024-01-11 00:00:00', '')
+"""
+
+HOSTILE_LINEITEM_ROWS = """
+    (7000001, 1, 1, 1, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+    (7000003, NULL, NULL, 2, 5.0, 100.0, 0.0, 0.0, 'N', 'O', TIMESTAMP '2024-01-12 00:00:00'),
+    (999999998, 1, 1, 1, 1.0, 1.0, 1.0, 1.0, 'R', 'F', TIMESTAMP '2024-01-13 00:00:00')
+"""
+
+HOSTILE_CUSTOMER_ROWS = """
+    (5000001, NULL, NULL, NULL, NULL),
+    (5000002, '', 0, -5.25, '')
+"""
+
 HOSTILE_EVENT_ROWS = """
     (8000001, TIMESTAMP '2024-01-15 12:00:00', 77001, NULL, 5.0, '{"k": 1}'),
     (8000002, TIMESTAMP '2024-01-15 12:01:00', 77001, 'error', NULL, '{"k": 2}'),
@@ -83,55 +110,58 @@ HOSTILE_EVENT_ROWS = """
 @pytest.fixture(scope="module")
 def hostile_dir(sf_dir, tmp_path_factory):
     d = tmp_path_factory.mktemp("hostile")
+    hostile = {
+        "documents": ("(doc_id, text, lang, source, n_chars)", HOSTILE_ROWS),
+        "events": ("(event_id, ts, user_id, event_type, value, props)", HOSTILE_EVENT_ROWS),
+        "embeddings": ("(vec_id, embedding, label)", HOSTILE_EMB_ROWS),
+        "orders": (
+            "(o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
+            " o_orderdate, o_orderpriority)",
+            HOSTILE_ORDER_ROWS,
+        ),
+        "lineitem": (
+            "(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,"
+            " l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,"
+            " l_shipdate)",
+            HOSTILE_LINEITEM_ROWS,
+        ),
+        "customer": (
+            "(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)",
+            HOSTILE_CUSTOMER_ROWS,
+        ),
+    }
     for t in TABLES:
-        if t not in ("documents", "events", "embeddings"):
+        if t not in hostile:
             shutil.copy(f"{sf_dir}/{t}.parquet", d / f"{t}.parquet")
     con = duckdb.connect()
     try:
-        con.execute(
-            f"""
+        for t, (schema, rows) in hostile.items():
+            # events.ts has shipped under several physical encodings;
+            # normalize through a TIMESTAMP cast so the UNION coerces
+            cast = (
+                "event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,"
+                " event_type, value, props"
+                if t == "events"
+                else "*"
+            )
+            con.execute(
+                f"""
 COPY (
-  SELECT * FROM '{sf_dir}/documents.parquet'
+  SELECT {cast} FROM '{sf_dir}/{t}.parquet'
   UNION ALL
-  SELECT * FROM (VALUES {HOSTILE_ROWS}
-  ) t(doc_id, text, lang, source, n_chars)
-) TO '{d}/documents.parquet' (FORMAT PARQUET)
+  SELECT * FROM (VALUES {rows}
+  ) t{schema}
+) TO '{d}/{t}.parquet' (FORMAT PARQUET)
 """
-        )
-        con.execute(
-            f"""
-COPY (
-  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
-  FROM '{sf_dir}/events.parquet'
-  UNION ALL
-  SELECT * FROM (VALUES {HOSTILE_EVENT_ROWS}
-  ) t(event_id, ts, user_id, event_type, value, props)
-) TO '{d}/events.parquet' (FORMAT PARQUET)
-"""
-        )
-        con.execute(
-            f"""
-COPY (
-  SELECT * FROM '{sf_dir}/embeddings.parquet'
-  UNION ALL
-  SELECT * FROM (VALUES {HOSTILE_EMB_ROWS}
-  ) t(vec_id, embedding, label)
-) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
-"""
-        )
+            )
     finally:
         con.close()
     return str(d)
 
 
 def _doc_query_names():
-    return [
-        n
-        for n, sql in em.oracle_sql().items()
-        if "documents" in sql.lower()
-        or "events" in sql.lower()
-        or "embeddings" in sql.lower()
-    ]
+    # every base table now carries hostile rows -> run the full gated surface
+    return list(em.oracle_sql())
 
 
 def test_hostile_corpus_full_differential(spark, hostile_dir):

@@ -35,8 +35,16 @@ def _recency():
 
 
 def ranked_recent_videos(spark: SparkSession, sf_dir: str, n: int = 15) -> DataFrame:
-    """T1: top-N most recent 'videos' (orders) per 'channel' (customer)."""
-    orders = load_table(spark, sf_dir, "orders")
+    """T1: top-N most recent 'videos' (orders) per 'channel' (customer).
+
+    Attribution contract (hostile-relational differential): a video with a
+    NULL channel key cannot be attributed and a NULL publish date cannot be
+    recency-ranked — both are excluded on BOTH engines (also keeps the
+    oracle's BIGINT channel_id column NULL-free, avoiding the pandas
+    float64 coercion)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
     return top_n_per_group(orders, "o_custkey", _recency(), n)
 
 
@@ -103,6 +111,7 @@ WITH ranked AS (
            ORDER BY o_orderdate DESC, o_orderkey ASC
          ) AS rn
   FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
 ),
 expanded AS (
   SELECT r.*, w.window_n
@@ -210,6 +219,7 @@ def _oracle_final_metrics_struct() -> str:
         "           ORDER BY o_orderdate DESC, o_orderkey ASC\n"
         "         ) AS rn\n"
         "  FROM orders\n"
+        "  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL\n"
         "),\n"
         "expanded AS (\n"
         "  SELECT r.*, w.window_n\n"
@@ -282,6 +292,7 @@ WITH ranked AS (
            ORDER BY o_orderdate DESC, o_orderkey ASC
          ) AS rn
   FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
 ),
 agg AS (
   SELECT o_custkey AS channel_id,
@@ -318,7 +329,11 @@ def language_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     and computes confidence = round(mode_count/total*100, 1)
     (youtube_api_handler.py:1148).
     """
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+        & (F.col("o_orderpriority") != "")
+    )  # reference drops falsy languages (youtube_api_handler.py:1115-1116)
     counts = orders.groupBy("o_custkey", "o_orderpriority").agg(
         F.count("*").alias("cnt")
     )
@@ -342,7 +357,10 @@ def language_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_LANGUAGE_MODE = """
 WITH counts AS (
   SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt
-  FROM orders GROUP BY o_custkey, o_orderpriority
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+        AND o_orderpriority <> ''
+  GROUP BY o_custkey, o_orderpriority
 ),
 ranked AS (
   SELECT *,
@@ -365,7 +383,11 @@ def language_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (youtube_api_handler.py:1133-1151). Exploded rows instead of the
     reference's dict-of-structs — the relational form joins/filters cleanly.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+        & (F.col("o_orderpriority") != "")
+    )  # reference drops falsy languages (youtube_api_handler.py:1115-1116)
     counts = orders.groupBy("o_custkey", "o_orderpriority").agg(
         F.count("*").alias("cnt")
     )
@@ -384,7 +406,10 @@ def language_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_LANGUAGE_DISTRIBUTION = """
 WITH counts AS (
   SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt
-  FROM orders GROUP BY o_custkey, o_orderpriority
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+        AND o_orderpriority <> ''
+  GROUP BY o_custkey, o_orderpriority
 ),
 tot AS (
   SELECT *, SUM(cnt) OVER (PARTITION BY o_custkey) AS total FROM counts

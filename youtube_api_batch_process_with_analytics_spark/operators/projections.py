@@ -367,13 +367,13 @@ SELECT counts.id, title, custom_url,
          AS dl_name,
        view_count, subscriber_count, video_count, privacy_status,
        CASE WHEN has_topics
-            THEN 'Music genre; Seg ' || seg
+            THEN COALESCE('Music genre; Seg ' || seg, 'Music genre')
             ELSE '' END AS categories_str,
        'UU' || k AS uploads_playlist,
        email,
        email IS NOT NULL AS vs_has_email,
        custom_url IS NOT NULL AS vs_has_custom_url,
-       TRUE AS vs_has_description,
+       (k % 5 = 0 OR seg IS NOT NULL) AS vs_has_description,
        is_linked AS vs_is_verified,
        CAST(FLOOR(CAST(view_count AS DOUBLE) / GREATEST(video_count, 1))
             AS BIGINT) AS avg_views_per_video,
@@ -527,7 +527,7 @@ base AS (
               THEN (o_orderkey % 90) * 60 + o_orderkey % 60
               ELSE (o_orderkey % 3) * 86400 + 7200
          END AS duration_sec,
-         CAST(FLOOR(o_totalprice) AS BIGINT) AS view_count,
+         COALESCE(CAST(FLOOR(o_totalprice) AS BIGINT), 0) AS view_count,
          CASE WHEN o_orderkey % 9 <> 0 THEN (o_orderkey * 7) % 10000
               ELSE 0 END AS like_count,
          (o_orderkey * 3) % 1000 AS comment_count,
@@ -536,7 +536,8 @@ base AS (
          o_orderkey % 2 = 0 AS embeddable,
          FALSE AS made_for_kids,
          CASE WHEN o_orderkey % 4 <> 0
-              THEN 'https://en.wikipedia.org/wiki/Pri_' || o_orderpriority
+              THEN COALESCE('https://en.wikipedia.org/wiki/Pri_'
+                            || o_orderpriority, '')
               ELSE '' END AS topics_str,
          '<iframe src=''https://e/' || o_orderkey || '''/>' AS embed_html
   FROM orders

@@ -41,14 +41,28 @@ def build_entry_xml() -> F.Column:
         F.concat(F.lit("https://www.youtube.com/watch?v="), vid, F.lit("&amp;ab=1"))
     )
     published = F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    # A NULL field must OMIT its element (a real feed skips unknown tags),
+    # not NULL the whole entry: bare concat propagates one NULL title/date/
+    # stat into entry_xml = NULL, silently losing the row (found by the
+    # hostile-relational differential). from_xml then yields NULL for the
+    # missing field, exactly what the oracle computes from the base column.
+    def _opt(*parts):
+        return F.coalesce(F.concat(*parts), F.lit(""))
+
     return F.concat(
-        F.lit("<entry><id>yt:video:"), vid,
-        F.lit("</id><title>"), F.col("o_orderpriority"),
-        F.lit("</title><published>"), published,
-        F.lit("</published><link href='"), url,
-        F.lit("'/><statistics views='"),
-        F.col("o_totalprice").cast("bigint"),
-        F.lit("'/></entry>"),
+        F.lit("<entry><id>yt:video:"), vid, F.lit("</id>"),
+        _opt(F.lit("<title>"), F.col("o_orderpriority"), F.lit("</title>")),
+        _opt(F.lit("<published>"), published, F.lit("</published>")),
+        F.lit("<link href='"), url, F.lit("'/>"),
+        F.coalesce(
+            F.concat(
+                F.lit("<statistics views='"),
+                F.col("o_totalprice").cast("bigint"),
+                F.lit("'/>"),
+            ),
+            F.lit("<statistics/>"),
+        ),
+        F.lit("</entry>"),
     )
 
 
@@ -87,7 +101,7 @@ WITH base AS (
               ELSE 'https://www.youtube.com/watch?v=vid' || o_orderkey || '&ab=1'
          END AS url,
          CASE WHEN o_orderkey % 3 = 0 THEN 'shorts' ELSE 'long' END AS video_type,
-         CAST(FLOOR(o_totalprice) AS BIGINT) AS views_from_rss  -- Spark CAST truncates; DuckDB rounds
+         COALESCE(CAST(FLOOR(o_totalprice) AS BIGINT), 0) AS views_from_rss  -- Spark CAST truncates; DuckDB rounds
   FROM orders
 )
 SELECT video_id, title, published_at, url, video_type, views_from_rss
