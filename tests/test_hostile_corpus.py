@@ -187,7 +187,14 @@ def test_hostile_corpus_full_differential(spark, hostile_dir):
             elif sorted(cols) != sorted(dcols):
                 failures.append(f"{name}: cols {sorted(cols)} != {sorted(dcols)}")
             elif co.value_hash(rows, cols) != co.value_hash(drows, dcols):
-                failures.append(f"{name}: value hash mismatch")
+                so = sorted(range(len(cols)), key=lambda i: cols[i])
+                do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                sset = {"|".join(co._fmt(r[i]) for i in so) for r in rows}
+                dset = {"|".join(co._fmt(r[i]) for i in do) for r in drows}
+                failures.append(
+                    f"{name}: value hash mismatch; spark-only="
+                    f"{sorted(sset - dset)[:2]} duck-only={sorted(dset - sset)[:2]}"
+                )
     finally:
         con.close()
     assert not failures, failures
