@@ -77,6 +77,21 @@ def test_flagship_single_aggregate_pass(spark, sf_dir):
     assert "Exchange" in plan  # it IS a distributed aggregate, not a collect
 
 
+def test_flagship_dim_join_broadcasts_without_hint(spark, sf_dir):
+    """J3/A4: the flagship's customer-dim join carries NO static broadcast
+    hint (the dim grows linearly with sf — a hard hint OOMs a 100-TB run
+    and disables AQE's size-based demotion), yet the size-based planner
+    must still pick a broadcast join at fixture scale. Both halves pinned:
+    hint absent from the analyzed plan, BroadcastHashJoin present in the
+    physical plan."""
+    df = channel.channel_video_metrics(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_relational_path_is_codegen(spark, sf_dir):
     """The reference-surface queries must stay JVM-side — no Python
     evaluation nodes (BatchEvalPython/ArrowEvalPython) anywhere on the

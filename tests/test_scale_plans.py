@@ -273,6 +273,48 @@ def test_spread_noop_on_multisplit_input(spark, tmp_path):
     assert spread(scan, min_partitions=10**6) is not scan
 
 
+def test_spread_shuffled_guard_on_dedup_candidates(spark, sf_dir, tmp_path):
+    """spread_shuffled() guards post-shuffle fan-out sites (the LSH
+    candidate set in dedup_embedding_cosine) without ever probing the
+    shuffle output itself — probing a frame behind an Exchange under AQE
+    EXECUTES the upstream stages, doubling the band join. The decision
+    comes from the scan-shaped probe: wide scan → NO-OP (no pointless
+    exchange at 100 TB), narrow fixture scan → fan-out survives."""
+    from youtube_api_batch_process_with_analytics_spark.operators.dedup import (
+        dedup_embedding_cosine,
+    )
+    from youtube_api_batch_process_with_analytics_spark.sources import (
+        load_table,
+        spread_shuffled,
+    )
+
+    para = spark.sparkContext.defaultParallelism
+
+    # Helper semantics: wide probe → identity; narrow probe → repartition.
+    emb = load_table(spark, sf_dir, "embeddings")
+    wide_probe = spark.range(0, 1000, 1, para).selectExpr("id AS doc_id")
+    wide_probe.write.mode("overwrite").parquet(str(tmp_path / "wide.parquet"))
+    wide_scan = spark.read.parquet(str(tmp_path / "wide.parquet"))
+    shuffled = emb.groupBy("vec_id").count()
+    assert spread_shuffled(shuffled, probe=wide_scan) is shuffled
+    narrow = wide_scan.coalesce(1)
+    fanned = spread_shuffled(shuffled, probe=narrow)
+    assert fanned is not shuffled
+    assert fanned.rdd.getNumPartitions() == para
+
+    # Site pin: against a multi-split embeddings layout the operator's plan
+    # must carry NO round-robin exchange (the fan-out is a no-op at scale);
+    # against the single-split fixture it must keep the fan-out.
+    multi_dir = tmp_path / "multi_sf"
+    emb.repartition(para).write.mode("overwrite").parquet(
+        str(multi_dir / "embeddings.parquet")
+    )
+    plan_multi = _plan(dedup_embedding_cosine(spark, str(multi_dir)))
+    assert "RoundRobinPartitioning" not in plan_multi, plan_multi
+    plan_single = _plan(dedup_embedding_cosine(spark, sf_dir))
+    assert "RoundRobinPartitioning" in plan_single, plan_single
+
+
 def test_value_hash_invariant_to_input_layout(spark, sf_dir, tmp_path):
     """Determinism under parallelism, pinned at the data level: the same
     tables written as ONE file vs SEVEN uneven splits must produce

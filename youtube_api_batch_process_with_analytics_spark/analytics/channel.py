@@ -89,8 +89,15 @@ def channel_video_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No presentation sort: 114k output rows at sf0.1, and the gate hashes
     # order-insensitively — a global range sort here is pure overhead, and
     # final_metrics_struct would immediately destroy it with its groupBy.
+    #
+    # No static broadcast hint on `customer`: the channel dim grows
+    # linearly with scale factor, so a hard hint would OOM the driver at
+    # 100 TB and disable AQE's size-based demotion. AQE still picks a
+    # broadcast join at every fixture sf (plan-pinned in
+    # tests/test_plan_shape.py::test_flagship_dim_join_broadcasts_without_hint)
+    # and demotes to sort-merge when the dim outgrows the threshold.
     return agg.join(
-        F.broadcast(customer), agg.o_custkey == customer.c_custkey, "left"
+        customer, agg.o_custkey == customer.c_custkey, "left"
     ).select(
         F.col("o_custkey").alias("channel_id"),
         F.col("window_n"),

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources import load_table, spread
+from ..sources import load_table, spread, spread_shuffled
 from .similarity import _DUCK_EMB_NONZERO as _EMB_VALID
 
 N_PERMUTATIONS = 8   # minhash signature length
@@ -431,9 +431,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .similarity import valid_embeddings
 
-    emb = valid_embeddings(
-        spread(load_table(spark, sf_dir, "embeddings"))
-    ).select(
+    emb_scan = load_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(spread(emb_scan)).select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("vec")
     ).withColumn("nrm", norm)
     bucket_exprs = [
@@ -462,13 +461,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l.vec_id").alias("vec_id_a"), F.col("r.vec_id").alias("vec_id_b"))
         .distinct()
-        # The candidate rows are tiny (two longs), so AQE coalesces them to
-        # ~1 partition — which would serialize the interpreted dot-product
-        # folds below onto one core. Fan back out before the compute-heavy
-        # verification; the per-row cost, not the byte count, is what needs
-        # spreading.
-        .repartition(spark.sparkContext.defaultParallelism)
     )
+    # The candidate rows are tiny (two longs), so AQE coalesces them to
+    # ~1 partition — which would serialize the interpreted dot-product
+    # folds below onto one core. Fan back out before the compute-heavy
+    # verification; the per-row cost, not the byte count, is what needs
+    # spreading. Guarded via the scan-shaped probe (probing `candidates`
+    # itself would execute the band join twice under AQE): on a wide
+    # multi-split run this is a NO-OP — no pointless exchange at scale.
+    candidates = spread_shuffled(candidates, probe=emb_scan)
 
     ea = emb.select(
         F.col("vec_id").alias("vec_id_a"),

@@ -604,9 +604,9 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         # can pass the quality conjunction, so skip the other 75%
         toked.withColumn("mode_share", F.when(sampled, _mode_token_share()))
         .join(
-            _bigram_lm_scores(toked.select("doc_id", "toks")).select(
-                "doc_id", "lm_score"
-            ),
+            _bigram_lm_scores(
+                spark, sf_dir, toked.select("doc_id", "toks")
+            ).select("doc_id", "lm_score"),
             "doc_id",
             "left",
         )

@@ -461,8 +461,21 @@ def rolling_daily_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the expensive aggregation (events → daily counts) is a
     partial-aggregable groupBy; the frame window then runs over ~days×types
     rows — trivially small at any data scale. Sums route through DECIMAL
-    so the trailing mean is order-independent for the hash gate."""
-    events = load_table(spark, sf_dir, "events")
+    so the trailing mean is order-independent for the hash gate.
+
+    NULL-ts rows are filtered on BOTH engines (the shared NULL-timestamp
+    contract): a NULL day has no place on a daily timeline, and the
+    engines disagree on where it would sit in the window frame — Spark
+    orders ASC nulls-first while DuckDB 1.0's default_null_order is
+    nulls_last, so an unfiltered NULL-day group silently joins the
+    trailing window of the first (Spark) vs last (DuckDB) six days of its
+    event_type. This was the round-5 'unexplained transient' in
+    tests/test_hostile_corpus.py: the divergence only manifests when the
+    nondeterministically-poisoned NULL-ts row carries a non-NULL
+    event_type."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     daily = events.groupBy(
         F.col("event_type"),
         F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
@@ -493,7 +506,7 @@ WITH daily AS (
          CAST(date_trunc('day', ts) AS DATE) AS day,
          COUNT(*) AS n,
          SUM(CAST(value AS DECIMAL(18,2))) AS v_dec
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT event_type, day, n,
        CAST(v_dec AS DOUBLE) AS value_sum,

@@ -1,1 +1,8 @@
-from .tables import TABLES, load_table, load_tables, register_views, spread  # noqa: F401
+from .tables import (  # noqa: F401
+    TABLES,
+    load_table,
+    load_tables,
+    register_views,
+    spread,
+    spread_shuffled,
+)

@@ -117,6 +117,31 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def spread_shuffled(
+    df: DataFrame, probe: DataFrame, min_partitions: int | None = None
+) -> DataFrame:
+    """Guarded fan-out for a frame DOWNSTREAM of a shuffle.
+
+    ``spread()``'s partition probe is planning-only for scan-shaped frames,
+    but when ``df`` sits behind an Exchange under AQE the probe EXECUTES the
+    upstream query stages (AQE must materialize the shuffle to report the
+    coalesced count) — doubling the work of the query. So for post-shuffle
+    frames the wide/narrow decision is taken from a scan-shaped ``probe``
+    frame instead (typically the raw ``load_table`` scan the query reads):
+    if the source scan already yields >= the target splits, the run is
+    cluster-scale — AQE keeps the shuffle output proportionally wide and a
+    round-robin repartition would be a pointless extra exchange, so this is
+    a NO-OP. Only a narrow (single-split fixture) scan buys the fan-out,
+    where AQE would otherwise coalesce a tiny-but-CPU-heavy frame onto one
+    core.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if probe.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
