@@ -37,6 +37,8 @@ from __future__ import annotations
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
@@ -84,26 +86,33 @@ def main() -> None:
                 f"'{d}/part_{i}.parquet' (FORMAT PARQUET)"
             )
     # documents: offset doc_id, suffix every token and the blocking key so
-    # dedup/jaccard/contamination candidate volume scales linearly
+    # dedup/jaccard/contamination candidate volume scales linearly.
+    # EXCEPTION: the fixed BM25 retrieval terms keep their surface form in
+    # every copy — suffixing them emptied bm25_search's result at this
+    # tier (rows 0/0, a vacuous gate row); exempting three single tokens
+    # cannot create cross-copy 3-token shingles, so dedup/jaccard/
+    # contamination candidate volume still scales linearly.
+    from youtube_api_batch_process_with_analytics_spark.operators.ranking import (
+        BM25_QUERY_TERMS,
+    )
+
+    keep = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
     d = os.path.join(out, "documents.parquet")
     os.makedirs(d, exist_ok=True)
     for i in range(COPIES):
+        suffixed = (
+            "array_to_string(list_transform("
+            "regexp_split_to_array(text, '[\\t\\n\\x0b\\f\\r ]+'), "
+            f"t -> CASE WHEN t IN ({keep}) THEN t ELSE t || '{i}' END), ' ')"
+        )
         con.execute(
             f"""
 COPY (
   SELECT doc_id + {i * COPY_STRIDE} AS doc_id,
-         array_to_string(
-           list_transform(
-             regexp_split_to_array(text, '[\\t\\n\\x0b\\f\\r ]+'),
-             t -> t || '{i}'),
-           ' ') AS text,
+         {suffixed} AS text,
          lang,
          source || '_{i}' AS source,
-         CAST(LENGTH(array_to_string(
-           list_transform(
-             regexp_split_to_array(text, '[\\t\\n\\x0b\\f\\r ]+'),
-             t -> t || '{i}'),
-           ' ')) AS BIGINT) AS n_chars
+         CAST(LENGTH({suffixed}) AS BIGINT) AS n_chars
   FROM '{SRC}/documents.parquet'
 ) TO '{d}/part_{i}.parquet' (FORMAT PARQUET)
 """

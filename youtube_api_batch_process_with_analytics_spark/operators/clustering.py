@@ -596,8 +596,11 @@ def pq_adc_topk(
 
     ADC alone cannot resolve near-uniform high-dim data (12-bit codes vs
     64 dims) — measured recall@5 on the fixture: 0.08 raw ADC vs 0.66
-    with rerank at shortlist=100. NumPy-differential tested for recall;
-    not gated (a lossy index ranking has no exact SQL twin)."""
+    with rerank at shortlist=100. NumPy-differential tested for recall
+    AND gated with a full exact DuckDB twin (oracle_pq_adc_topk): the
+    index is lossy vs exact search, but every quantity on its decision
+    path is integer-exact or fixed-order IEEE, so the twin reproduces the
+    identical shortlist and rerank bit-for-bit."""
     books = _pq_fit(spark, sf_dir)
     width = PQ_DIM // PQ_M
     codes = pq_codes_query(spark, sf_dir)
@@ -670,14 +673,126 @@ def pq_adc_topk(
     )
 
 
+def oracle_pq_adc_topk(
+    m_sub: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = PQ_ITERS,
+    dim: int = PQ_DIM,
+    scale: int = QUANT_SCALE,
+    top_k: int = 5,
+    stride: int = 50,
+    shortlist: int = 100,
+) -> str:
+    """Exact DuckDB twin of the two-stage PQ search.
+
+    Bit-parity argument (why a lossy index CAN hash-match): every quantity
+    on the decision path is integer-exact or a fixed-order IEEE operation —
+    codes come from the integer-exact per-subspace Lloyd rounds (the
+    pq_codes oracle machinery), each per-subspace ADC term is
+    CAST(Σ(n·x−s)² AS DOUBLE)/n² (exact BIGINT sum, one correctly-rounded
+    cast + division, identical on both engines), and the M terms add in
+    the same literal order ((t0+t1)+t2)+t3 as the Spark column fold. The
+    exact rerank distance is a pure BIGINT sum. So ranks, shortlists, and
+    output values agree bitwise — no attestation bound needed."""
+    width = dim // m_sub
+    parts = [
+        f"""WITH emb AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qvec
+  FROM embeddings WHERE {_EMB_VALID}
+),
+allqx AS (
+  SELECT vec_id, generate_subscripts(qvec, 1) AS pos, unnest(qvec) AS x
+  FROM emb
+)"""
+    ]
+    for m in range(m_sub):
+        off = m * width
+        parts.append(
+            f""",
+m{m}qx AS (
+  SELECT vec_id, pos - {off} AS pos, x FROM allqx
+  WHERE pos > {off} AND pos <= {off + width}
+),
+m{m}a0 AS (SELECT vec_id, CAST(vec_id % {k} AS INTEGER) AS cluster FROM emb)"""
+        )
+        for r in range(1, n_iter + 1):
+            parts.append(_oracle_round(r, prefix=f"m{m}"))
+        # per-(query, cluster) ADC term for subspace m, against the FINAL
+        # codebook stats m{m}s{n_iter} (the same (s, n) rationals the codes
+        # were assigned with)
+        parts.append(
+            f""",
+m{m}qd AS (
+  SELECT q.vec_id AS query_id, s.cluster,
+         CAST(SUM((s.n * q.x - s.s) * (s.n * q.x - s.s)) AS DOUBLE)
+           / CAST(ANY_VALUE(s.n) * ANY_VALUE(s.n) AS DOUBLE) AS d
+  FROM m{m}qx q JOIN m{m}s{n_iter} s ON s.pos = q.pos
+  WHERE q.vec_id % {stride} = 0
+  GROUP BY q.vec_id, s.cluster
+)"""
+        )
+    code_cols = ", ".join(
+        f"m{m}a{n_iter}.cluster AS code_{m}" for m in range(m_sub)
+    )
+    code_joins = " ".join(
+        f"JOIN m{m}a{n_iter} ON m{m}a{n_iter}.vec_id = emb.vec_id"
+        for m in range(m_sub)
+    )
+    adc_joins = " ".join(
+        f"JOIN m{m}qd d{m} ON d{m}.cluster = c.code_{m}"
+        + ("" if m == 0 else f" AND d{m}.query_id = d0.query_id")
+        for m in range(m_sub)
+    )
+    adc_sum = "d0.d"
+    for m in range(1, m_sub):
+        adc_sum = f"({adc_sum} + d{m}.d)"
+    parts.append(
+        f""",
+codes AS (SELECT emb.vec_id, {code_cols} FROM emb {code_joins}),
+adcp AS (
+  SELECT d0.query_id, c.vec_id AS neighbor_id, {adc_sum} AS adc_dist
+  FROM codes c {adc_joins}
+  WHERE c.vec_id <> d0.query_id
+),
+short AS (
+  SELECT query_id, neighbor_id, adc_dist FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC
+    ) AS arn FROM adcp
+  ) WHERE arn <= {shortlist}
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id, s.adc_dist,
+         CAST(SUM((qq.x - nn.x) * (qq.x - nn.x)) AS BIGINT) AS exact_dist
+  FROM short s
+  JOIN allqx qq ON qq.vec_id = s.query_id
+  JOIN allqx nn ON nn.vec_id = s.neighbor_id AND nn.pos = qq.pos
+  GROUP BY s.query_id, s.neighbor_id, s.adc_dist
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, exact_dist,
+       adc_dist
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY exact_dist ASC, neighbor_id ASC
+  ) AS rank FROM rer
+) WHERE rank <= {top_k}
+ORDER BY query_id, rank"""
+    )
+    return "".join(parts)
+
+
 QUERIES = {
     "kmeans_cells": kmeans_cells_query,
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "pq_codes": pq_codes_query,
+    "pq_adc_topk": pq_adc_topk,
 }
 
 ORACLES = {
     "kmeans_cells": oracle_kmeans_cells(),
     "ann_ivf_kmeans": oracle_ann_ivf_kmeans(),
     "pq_codes": oracle_pq_codes(),
+    "pq_adc_topk": oracle_pq_adc_topk(),
 }

@@ -377,23 +377,33 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Posting-list twin (the engine-side formulation): explode shingles and
+# count co-occurrences per pair — |A∩B| falls out of a GROUP BY and pairs
+# sharing nothing never materialize, exactly like the Spark plan. The
+# original all-pairs block join with per-pair list_intersect was quadratic
+# by construction and excluded this query from the sf1 gate tier.
 ORACLE_NGRAM_JACCARD_PAIRS = f"""
 WITH {_DUCK_SHINGLE_CTE},
 sized AS (
-  SELECT doc_id, source, shingles, len(shingles) AS n_sh FROM sh
+  SELECT doc_id, len(shingles) AS n_sh FROM sh
 ),
-pairs AS (
+posts AS (
+  SELECT source, doc_id, unnest(shingles) AS shingle FROM sh
+),
+inter AS (
   SELECT a.source AS source, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS i,
-         a.n_sh AS n_a, b.n_sh AS n_b
-  FROM sized a JOIN sized b
-    ON a.source = b.source AND a.doc_id < b.doc_id
-  WHERE CAST(LEAST(a.n_sh, b.n_sh) AS DOUBLE) / GREATEST(a.n_sh, b.n_sh) >= 0.2
+         CAST(COUNT(*) AS DOUBLE) AS i
+  FROM posts a JOIN posts b
+    ON a.source = b.source AND a.shingle = b.shingle
+       AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
 )
-SELECT source, doc_id_a, doc_id_b,
-       ROUND(i / (n_a + n_b - i), 6) AS jaccard
-FROM pairs
-WHERE ROUND(i / (n_a + n_b - i), 6) >= 0.2
+SELECT i.source, i.doc_id_a, i.doc_id_b,
+       ROUND(i.i / (sa.n_sh + sb.n_sh - i.i), 6) AS jaccard
+FROM inter i
+JOIN sized sa ON sa.doc_id = i.doc_id_a
+JOIN sized sb ON sb.doc_id = i.doc_id_b
+WHERE ROUND(i.i / (sa.n_sh + sb.n_sh - i.i), 6) >= 0.2
 ORDER BY 1, 2, 3
 """
 

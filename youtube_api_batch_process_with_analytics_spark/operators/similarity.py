@@ -86,6 +86,14 @@ def _as_double_array(col: str):
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for the query subset (vec_id % 50 == 0).
 
+    CORRECTNESS BASELINE ONLY — do not lift into production. This is the
+    exact |Q|×N pair expansion kept because it is the one ANN query a
+    plain-SQL oracle can verify bit-for-bit; at corpus scale it is the
+    wrong shape by construction. The production paths are
+    ``cosine_topk_vectorized`` (Arrow GEMM full scan, gated via
+    ``ann_vectorized_bound``), ``ann_ivf_topk`` / ``ann_ivf_kmeans``
+    (pruned probe-and-search), and ``pq_adc_topk`` (memory-bound ADC).
+
     Norms are materialized once per vector before the pair expansion
     (caching a deterministic value changes no bits vs the oracle's
     per-pair formula), so each of the |Q|×N pairs costs one dot fold,

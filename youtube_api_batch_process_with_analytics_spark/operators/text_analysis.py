@@ -528,6 +528,12 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Linear-shape twin (the engine-side formulation): unnest k-gram positions
+# and take the sliding w-window minimum with a frame window function —
+# DuckDB evaluates ROWS-frame MIN incrementally, so the twin is O(n·k)
+# like the Spark side instead of materializing a w-wide list_slice per
+# position (the original list-comprehension twin thrashed allocation and
+# excluded this query from the sf1 gate tier).
 ORACLE_WINNOWING_FINGERPRINTS = f"""
 WITH d AS (
   SELECT doc_id,
@@ -535,23 +541,27 @@ WITH d AS (
            AS norm
   FROM documents
 ),
-g AS (
-  SELECT doc_id,
-         [md5(substr(norm, i, {WINNOW_K}))
-          FOR i IN range(1, length(norm) - {WINNOW_K} + 2)] AS h
-  FROM d WHERE length(norm) >= {WINNOW_K} + {WINNOW_W} - 1
+hx AS (
+  SELECT doc_id, i, md5(substr(norm, i, {WINNOW_K})) AS v
+  FROM d, LATERAL (
+    SELECT unnest(range(1, length(norm) - {WINNOW_K} + 2)) AS i
+  )
+  WHERE length(norm) >= {WINNOW_K} + {WINNOW_W} - 1
 ),
-m AS (
-  SELECT doc_id, CAST(len(h) AS BIGINT) AS n_kgrams,
-         [list_min(list_slice(h, j, j + {WINNOW_W} - 1))
-          FOR j IN range(1, len(h) - {WINNOW_W} + 2)] AS mins
-  FROM g
+mins AS (
+  SELECT doc_id, i,
+         MIN(v) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+           AS mn
+  FROM hx
 )
-SELECT doc_id, n_kgrams,
-       CAST(len(list_distinct(mins)) AS BIGINT) AS n_fingerprints,
-       list_min(mins) AS fp_min,
-       list_max(mins) AS fp_max
-FROM m ORDER BY doc_id
+SELECT doc_id,
+       CAST(MAX(i) AS BIGINT) AS n_kgrams,
+       CAST(COUNT(DISTINCT CASE WHEN i >= {WINNOW_W} THEN mn END) AS BIGINT)
+         AS n_fingerprints,
+       MIN(CASE WHEN i >= {WINNOW_W} THEN mn END) AS fp_min,
+       MAX(CASE WHEN i >= {WINNOW_W} THEN mn END) AS fp_max
+FROM mins GROUP BY doc_id ORDER BY doc_id
 """
 
 

@@ -29,9 +29,14 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 DAILY_QUOTA = 10_000  # config.py:15
 
+# Grouping keys are NULLABLE in both output schemas: Spark's groupBy makes
+# NULL a real key group, and a non-nullable StructField here turns the
+# first NULL-keyed row into an EXPRESSION_DECODING_FAILED that kills the
+# WHOLE streaming query — one poisoned event taking down the pipeline
+# (found by tests/test_streaming_hostile.py).
 LATCH_OUTPUT_SCHEMA = T.StructType(
     [
-        T.StructField("key_id", T.LongType(), False),
+        T.StructField("key_id", T.LongType(), True),
         T.StructField("total_requests", T.LongType()),
         T.StructField("total_failures", T.LongType()),
         T.StructField("is_exhausted", T.BooleanType()),
@@ -92,7 +97,7 @@ def quota_latch_stream(events: DataFrame, quota: int = DAILY_QUOTA) -> DataFrame
 
 CACHE_OUTPUT_SCHEMA = T.StructType(
     [
-        T.StructField("cache_key", T.StringType(), False),
+        T.StructField("cache_key", T.StringType(), True),  # NULL key = real group
         T.StructField("value", T.DoubleType()),
         T.StructField("hits", T.LongType()),
         T.StructField("evicted", T.BooleanType()),
@@ -137,7 +142,10 @@ def ttl_cache_stream(entries: DataFrame, ttl_ms: int = 300_000) -> DataFrame:
         value, hits = state.get if state.exists else (None, 0)
         for pdf in pdfs:
             if len(pdf):
-                value = float(pdf["value"].iloc[-1])
+                # a NULL value is still a write: store (and re-emit) NULL,
+                # never NaN — pandas surfaces the Arrow NULL as NaN here
+                last = pdf["value"].iloc[-1]
+                value = None if pd.isna(last) else float(last)
                 hits += len(pdf)
         state.update((value, hits))
         state.setTimeoutDuration(ttl_ms)
