@@ -73,7 +73,69 @@ def entry(spark: SparkSession) -> DataFrame:
 # tail ROTATES between rounds so every query earns a current-round gate row
 # within any two consecutive rounds.
 #
-# ROUND-5 ROTATION (this round): all 35 round-4 tail queries are promoted
+# ROUND-6 ROTATION (this round): all 36 round-5 tail queries are promoted
+# back into the head (each earns a CORRECTNESS_r06 row, completing the
+# r5 ∪ r6 coverage contract), joined by the new pq_adc_topk (first driver
+# row — the ADC serving path, now gated with a full exact twin) and 13
+# keepers from the round-5 head:
+#   channel_video_metrics (flagship; static broadcast hint dropped this
+#     round — needs a fresh driver row; sole A1/A2/A4 gate),
+#   log_page (sole T2/F4/F5/F6 gate),
+#   curation_pipeline_v2 + bigram_lm_quality (LM-stats memoization this
+#     round — fresh rows attest unchanged hashes),
+#   ngram_jaccard_pairs (DuckDB twin rewritten to the posting-list shape
+#     this round), rolling_daily_average (NULL-ts contract fix on BOTH
+#     engines this round), quota_latch_final (nullable-key state schema
+#     fix this round; the one query driving the real streaming engine),
+#   rss_xml_roundtrip (sole S4/P4 XML source gate),
+#   enrichment_join (sole J1/F3 gate),
+#   revenue_rollup (grouping-sets anchor; daily_event_pivot demotes),
+#   events_asof_latest_order (temporal anchor; events_in_order_window
+#     demotes), approx_usage_sketch (sole sketch attestation + the exact-
+#     distinct side that covers distinct_usage_stats),
+#   json_props_metrics (A12/ST6 anchor; key_usage_rollup and
+#     cache_status_rollup demote onto it).
+# The 37 demoted queries below are ALL hash-green in CORRECTNESS_r05.json
+# (this round's GATECHECK_r06.txt replica re-attests them at three tiers),
+# and each leaves its family covered in the head:
+#   channel_type_classification → A3 via video_type_distribution;
+#   final_metrics_struct / language_mode / language_distribution /
+#     language_fallback_resolution / video_format_flat / channel_by_handle
+#     → channel+language formatter family via channel_video_metrics (kept)
+#     + channel_format_flat + language_id (promoted);
+#   semi_join_lookup → J4 via dim_broadcast_join (promoted);
+#   pagination_meta / log_level_stats / top_loggers / recent_level_stats /
+#     retention_cleanup → log family via log_page (kept);
+#   daily_usage_windows → ST2 via hourly_usage_windows (promoted);
+#   key_rotation_round_robin → ST4 via key_rotation_least_used (promoted);
+#   key_usage_rollup → ST6 via json_props_metrics (kept);
+#   cache_ttl_filter → ST1 via quota_latch_final (kept) + the new hostile
+#     TTL streaming test; user_sessions → sessionization via the streaming
+#     parity + hostile pytests; distinct_usage_stats → exact distincts
+#     inside approx_usage_sketch (kept);
+#   corpus_curation_funnel → curation via curation_pipeline_v2 (kept);
+#   doc_fingerprint → §2.8 via duration_parse + winnowing_fingerprints
+#     (promoted); dedup_exact / dedup_minhash_lsh / dedup_simhash /
+#     dedup_embedding_cosine → dedup family via dedup_connected_components
+#     + benchmark_contamination (promoted) + ngram_jaccard_pairs (kept);
+#   duplicate_spans / export_pipeline → spans family via
+#     remove_duplicate_spans + doc_novelty + source_overlap_matrix
+#     (promoted); bpe_merges → BPE via bpe_fertility + pack_sequences_bpe
+#     (promoted, both compose the memoized fit);
+#   kmeans_cells → via ann_ivf_kmeans + pq_codes (promoted) + pq_adc_topk
+#     (new), all composing the same fitted models;
+#   ann_cosine_topk / ann_vectorized_bound → similarity via ann_ivf_topk
+#     (promoted) + pq_adc_topk (new);
+#   media_decode_features → via media_metadata_stats + media_resize +
+#     media_frame_sample (promoted);
+#   set_ops_user_cohorts → §2.7 via batch_union_envelope (promoted);
+#   email_topic_projection → P6/P7 via redact_pii (promoted, same
+#     EMAIL_PATTERN); cache_status_rollup → A11/A14 via json_props_metrics
+#     + quota_latch_final (kept); events_in_order_window → temporal via
+#     events_asof_latest_order (kept); daily_event_pivot → grouping via
+#     revenue_rollup (kept).
+#
+# ROUND-5 ROTATION (previous round): all 35 round-4 tail queries are promoted
 # back into the head (each now earns a CORRECTNESS_r05 row, completing the
 # r4 ∪ r5 coverage contract), joined by the new ann_vectorized_bound
 # (first driver row) and 14 keepers from the round-4 head:
@@ -203,42 +265,43 @@ def entry(spark: SparkSession) -> DataFrame:
 #     (J3), both head this round (r1-r3 green), displaced by
 #     pack_sequences_bpe.
 _GATE_TAIL = [
-    "dim_broadcast_join",
-    "key_rotation_least_used",
-    "hourly_usage_windows",
-    "doc_repetition_stats",
-    "winnowing_fingerprints",
-    "doc_text_stats",
-    "language_id",
-    "redact_pii",
-    "dedup_connected_components",
-    "benchmark_contamination",
-    "remove_duplicate_spans",
-    "doc_novelty",
-    "source_overlap_matrix",
-    "bpe_fertility",
-    "pack_sequences_bpe",
-    "chunk_documents",
-    "split_by_hash",
-    "pack_sequences",
-    "ann_ivf_kmeans",
-    "pq_codes",
-    "corpus_sample_hash",
-    "stratified_sample",
-    "mixture_temperature_sample",
-    "global_shuffle_shards",
-    "token_budget_allocation",
-    "tfidf_top_terms",
-    "bm25_search",
-    "ann_ivf_topk",
-    "media_metadata_stats",
-    "media_resize",
-    "media_frame_sample",
-    "video_type_distribution",
-    "duration_parse",
-    "batch_union_envelope",
-    "channel_format_flat",
-    "pricing_summary",
+    "channel_type_classification",
+    "final_metrics_struct",
+    "language_mode",
+    "language_distribution",
+    "language_fallback_resolution",
+    "video_format_flat",
+    "channel_by_handle",
+    "semi_join_lookup",
+    "pagination_meta",
+    "log_level_stats",
+    "top_loggers",
+    "recent_level_stats",
+    "retention_cleanup",
+    "daily_usage_windows",
+    "key_rotation_round_robin",
+    "key_usage_rollup",
+    "cache_ttl_filter",
+    "user_sessions",
+    "distinct_usage_stats",
+    "corpus_curation_funnel",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "duplicate_spans",
+    "export_pipeline",
+    "bpe_merges",
+    "kmeans_cells",
+    "ann_cosine_topk",
+    "ann_vectorized_bound",
+    "media_decode_features",
+    "set_ops_user_cohorts",
+    "email_topic_projection",
+    "cache_status_rollup",
+    "events_in_order_window",
+    "daily_event_pivot",
 ]
 
 
