@@ -100,7 +100,8 @@ def main() -> None:
     # that always fits the tail window, carrying as many of the slowest
     # per-query timings as fit.
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"),
     )
     with open(detail_path, "w") as f:
         json.dump(payload, f, indent=1)
