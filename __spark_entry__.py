@@ -88,13 +88,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #     engines this round), quota_latch_final (nullable-key state schema
 #     fix this round; the one query driving the real streaming engine),
 #   rss_xml_roundtrip (sole S4/P4 XML source gate),
-#   enrichment_join (sole J1/F3 gate),
-#   revenue_rollup (grouping-sets anchor; daily_event_pivot demotes),
 #   events_asof_latest_order (temporal anchor; events_in_order_window
 #     demotes), approx_usage_sketch (sole sketch attestation + the exact-
 #     distinct side that covers distinct_usage_stats),
 #   json_props_metrics (A12/ST6 anchor; key_usage_rollup and
 #     cache_status_rollup demote onto it).
+# MID-ROUND-6 ADDITIONS: rate_limit_pacer + retry_schedule (ST3/ST5 —
+# the last two operational reference behaviors without dataflow analogs —
+# now first-class gated queries: the pacer as a max-plus closed form, the
+# retry contract as a deterministic schedule expansion) enter the head for
+# their first driver rows; two r5-hash-green keepers whose operator code
+# did NOT change this round move to the tail to hold the head at 50:
+#   enrichment_join → J1/F3 via dim_broadcast_join (J4, promoted head) +
+#     channel_video_metrics (J3, kept) — the same justification as its
+#     round-4 demotion, re-attested by this round's three-tier replica;
+#   revenue_rollup → grouping family via channel_video_metrics's GROUPING
+#     SETS pass (kept, fresh r6 row) + daily_event_pivot's r5 row.
 # The 37 demoted queries below are ALL hash-green in CORRECTNESS_r05.json
 # (this round's GATECHECK_r06.txt replica re-attests them at three tiers),
 # and each leaves its family covered in the head:
@@ -302,6 +311,8 @@ _GATE_TAIL = [
     "cache_status_rollup",
     "events_in_order_window",
     "daily_event_pivot",
+    "enrichment_join",
+    "revenue_rollup",
 ]
 
 

@@ -213,3 +213,50 @@ def test_pct_and_rate_fuzz(spark, pairs):
         want_p = _round_half_up(n / d * 100.0, 1) if d > 0 else 0.0
         want_r = _round_half_up(n / d * 100.0, 4) if d > 0 else 0.0
         assert r["p"] == want_p and r["r"] == want_r, (n, d)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # key
+            st.integers(min_value=0, max_value=500_000),  # arrival offset us
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_rate_limit_pacer_closed_form_fuzz(spark, events):
+    """The pacer's closed form (admit_i = slot_i + running_max(t_j - slot_j))
+    must equal the literal reference recurrence admit_i = max(t_i,
+    admit_{i-1} + I) — checked independently of the DuckDB twin, which
+    shares the closed form and so could share a bug."""
+    from pyspark.sql import Window as W
+
+    from youtube_api_batch_process_with_analytics_spark.operators.windows import (
+        MIN_REQUEST_INTERVAL_US as I,
+    )
+
+    rows = [
+        (key, eid, 1_700_000_000_000_000 + off)
+        for eid, (key, off) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, arrival_us long")
+    order = W.partitionBy("user_id").orderBy("arrival_us", "event_id")
+    run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    seq = F.row_number().over(order)
+    got = {
+        r.event_id: r.admit_us
+        for r in df.withColumn("slot_us", (seq - F.lit(1)).cast("long") * F.lit(I))
+        .withColumn(
+            "admit_us",
+            F.max(F.col("arrival_us") - F.col("slot_us")).over(run)
+            + F.col("slot_us"),
+        )
+        .collect()
+    }
+    last: dict[int, int] = {}
+    for key, eid, arr in sorted(rows, key=lambda t: (t[2], t[1])):
+        admit = arr if key not in last else max(arr, last[key] + I)
+        last[key] = admit
+        assert got[eid] == admit, (eid, arr, got[eid], admit)

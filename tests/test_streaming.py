@@ -343,3 +343,139 @@ def test_sessionization_multibatch_out_of_order(spark, tmp_path):
         (3, jan(5, 0), jan(5, 12), 1, 0),
         # no user-4 row (out-of-bound drop), no user-5 row (still open)
     }, sorted(got)
+
+
+def test_rate_limit_pacer_stream_matches_batch_across_batches(
+    spark, sf_dir, tmp_path
+):
+    """The incremental pacer must reproduce the batch closed form
+    (operators/windows.py::rate_limit_pacer) under the in-order-per-key
+    contract, across REAL micro-batch boundaries: events are split into
+    three files in global ts order (so each key's rows arrive in order)
+    and fed one file per trigger, forcing the per-key state to carry the
+    last-admit stamp between batches."""
+    import os
+    import time
+
+    from youtube_api_batch_process_with_analytics_spark.streaming import (
+        rate_limit_pacer_stream,
+    )
+    from youtube_api_batch_process_with_analytics_spark.streaming.state import (
+        MIN_REQUEST_INTERVAL_US,
+    )
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", F.unix_micros("ts").alias("arrival_us"))
+    )
+    rows = sorted(events.collect(), key=lambda r: (r.arrival_us, r.event_id))
+    assert len(rows) > 100
+
+    d = tmp_path / "pacer_stream"
+    d.mkdir()
+    import pandas as pd
+
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third]
+        pdf = pd.DataFrame(
+            [(r.user_id, r.event_id, r.arrival_us) for r in chunk],
+            columns=["user_id", "event_id", "arrival_us"],
+        )
+        pdf.to_parquet(d / f"f{i}.parquet", index=False)
+        mt = time.time() - 100 + i * 10
+        os.utime(d / f"f{i}.parquet", (mt, mt))
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, arrival_us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        rate_limit_pacer_stream(stream)
+        .writeStream.format("memory")
+        .queryName("pacer_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        got = {
+            r.event_id: (r.arrival_us, r.admit_us)
+            for r in spark.sql("SELECT * FROM pacer_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert n_batches >= 3, f"expected one micro-batch per file, saw {n_batches}"
+
+    # reference recurrence, folded per key in (arrival, event_id) order
+    expected: dict[int, tuple[int, int]] = {}
+    last: dict[int, int] = {}
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.user_id, []).append(r)
+    for uid, krows in by_key.items():
+        for r in krows:
+            admit = (
+                r.arrival_us
+                if uid not in last
+                else max(r.arrival_us, last[uid] + MIN_REQUEST_INTERVAL_US)
+            )
+            last[uid] = admit
+            expected[r.event_id] = (r.arrival_us, admit)
+    assert got == expected
+
+
+def test_rate_limit_pacer_stream_hostile_rows(spark, tmp_path):
+    """Degenerate rows through the streaming pacer: a NULL-arrival row is
+    emitted unpaced (NULL admit) without corrupting its key's state, and a
+    NULL-keyed row forms a real group instead of killing the query."""
+    import pandas as pd
+
+    from youtube_api_batch_process_with_analytics_spark.streaming import (
+        rate_limit_pacer_stream,
+    )
+
+    d = tmp_path / "pacer_hostile"
+    d.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "user_id": pd.array([1, 1, 1, None, 7], dtype="Int64"),
+            "event_id": pd.array([10, 11, 12, 13, None], dtype="Int64"),
+            "arrival_us": pd.array(
+                [1_000_000, None, 1_050_000, 2_000_000, 3_000_000], dtype="Int64"
+            ),
+        }
+    )
+    pdf.to_parquet(d / "f0.parquet", index=False)
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, arrival_us long"
+    ).parquet(str(d))
+    q = (
+        rate_limit_pacer_stream(stream)
+        .writeStream.format("memory")
+        .queryName("pacer_hostile")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = {
+            (r.user_id, r.event_id): (r.arrival_us, r.admit_us)
+            for r in spark.sql("SELECT * FROM pacer_hostile").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {
+        (1, 10): (1_000_000, 1_000_000),
+        # second stamped event for key 1 paced off the FIRST one —
+        # the NULL-arrival row in between did not advance the state
+        (1, 12): (1_050_000, 1_100_000),
+        (1, 11): (None, None),  # unstamped: passed through, not dropped
+        (None, 13): (2_000_000, 2_000_000),  # NULL key is a real group
+        (7, None): (3_000_000, 3_000_000),  # NULL event_id tolerated
+    }, sorted(got.items(), key=lambda kv: str(kv))

@@ -520,6 +520,141 @@ ORDER BY event_type, day
 """
 
 
+MIN_REQUEST_INTERVAL_US = 100_000  # config.py:33 — 0.1 s between requests
+MAX_RETRIES = 3  # config.py:34
+RETRY_DELAY_US = 1_000_000  # config.py:35 — 1.0 s
+
+
+def rate_limit_pacer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 — the reference's min-interval rate limiter as dataflow
+    (``_rate_limit``, youtube_api_handler.py:361-367): each request is
+    admitted at ``max(arrival, previous_admit + MIN_REQUEST_INTERVAL)``.
+
+    The recurrence ``admit_i = max(t_i, admit_{i-1} + I)`` looks
+    inherently sequential, but it is a max-plus scan with the exact
+    closed form
+
+        ``admit_i = slot_i + running_max_j<=i(t_j - slot_j)``,
+        ``slot_i = (i - 1) * I``
+
+    so the whole pacer compiles to ONE running-max window per key — no
+    iteration, no UDF, one shuffle on the key, and the per-key scan is
+    linear and incremental (WindowExec keeps a single running max). All
+    arithmetic is integer microseconds (``unix_micros`` / ``epoch_us``),
+    so the DuckDB twin matches bit-for-bit. The incremental streaming
+    form (same recurrence, state = one BIGINT per key) is
+    ``streaming/state.py::rate_limit_pacer_stream``; equivalence is
+    pinned by ``tests/test_streaming_state.py``.
+
+    Returns the per-key admission summary a quota dashboard would serve:
+    request count, delayed count, total/max imposed wait, final admit.
+    """
+    events = load_table(spark, sf_dir, "events")
+    # An unstamped request cannot be paced; contract shared with the twin.
+    events = events.filter(F.col("ts").isNotNull())
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    seq = F.row_number().over(order)
+    step1 = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.unix_micros("ts").alias("arrival_us"),
+        ((seq - F.lit(1)).cast("long") * F.lit(MIN_REQUEST_INTERVAL_US)).alias(
+            "slot_us"
+        ),
+    )
+    # Same partition+order spec as `order`, so Catalyst plans one
+    # WindowExec for both the row_number above and this running max —
+    # a single sort within the single key shuffle.
+    step2 = step1.withColumn(
+        "admit_us",
+        F.max(F.col("arrival_us") - F.col("slot_us")).over(run) + F.col("slot_us"),
+    )
+    wait = F.col("admit_us") - F.col("arrival_us")
+    return step2.groupBy("user_id").agg(
+        F.count("*").alias("n_requests"),
+        F.sum(F.when(wait > 0, 1).otherwise(0)).alias("n_delayed"),
+        F.sum(wait).alias("total_wait_us"),
+        F.max(wait).alias("max_wait_us"),
+        F.max("admit_us").alias("last_admit_us"),
+    )
+
+
+ORACLE_RATE_LIMIT_PACER = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS arrival_us,
+         (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)
+           * {MIN_REQUEST_INTERVAL_US} AS slot_us
+  FROM events WHERE ts IS NOT NULL
+), p AS (
+  SELECT user_id, arrival_us,
+         MAX(arrival_us - slot_us) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) + slot_us AS admit_us
+  FROM e
+)
+SELECT user_id,
+       COUNT(*) AS n_requests,
+       CAST(SUM(CASE WHEN admit_us > arrival_us THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_delayed,
+       CAST(SUM(admit_us - arrival_us) AS BIGINT) AS total_wait_us,
+       CAST(MAX(admit_us - arrival_us) AS BIGINT) AS max_wait_us,
+       CAST(MAX(admit_us) AS BIGINT) AS last_admit_us
+FROM p GROUP BY user_id ORDER BY user_id
+"""
+
+
+def retry_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 — the retry-with-backoff contract as dataflow (MAX_RETRIES /
+    RETRY_DELAY, config.py:34-35; the 429 retry path in ``_make_request``,
+    youtube_api_handler.py:400-404): each failed request is retried up to
+    MAX_RETRIES times. The reference EXECUTES this schedule imperatively
+    with ``time.sleep``; the dataflow analog COMPUTES it — one row per
+    (failed request, attempt) with the reference's constant-delay stamp
+    (``retry_at_us``) and the exponential-backoff generalization a
+    production pipeline would use (``retry_at_backoff_us`` =
+    failed + delay * (2^attempt - 1), i.e. delay, 2·delay, 4·delay gaps).
+    ``gave_up`` marks the final attempt. Explode over a literal
+    1..MAX_RETRIES sequence: map-only, shuffle-free, integer-exact.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "error") & F.col("ts").isNotNull()
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("failed_us"),
+        F.explode(F.sequence(F.lit(1), F.lit(MAX_RETRIES))).alias("attempt"),
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("attempt").cast("long").alias("attempt"),
+        (F.col("failed_us") + F.col("attempt").cast("long") * RETRY_DELAY_US).alias(
+            "retry_at_us"
+        ),
+        (
+            F.col("failed_us")
+            + (F.expr("CAST(shiftleft(1, attempt) AS BIGINT)") - F.lit(1))
+            * RETRY_DELAY_US
+        ).alias("retry_at_backoff_us"),
+        (F.col("attempt") == MAX_RETRIES).alias("gave_up"),
+    )
+
+
+ORACLE_RETRY_SCHEDULE = f"""
+SELECT e.event_id, e.user_id, g.attempt,
+       epoch_us(e.ts) + g.attempt * {RETRY_DELAY_US} AS retry_at_us,
+       epoch_us(e.ts) + ((1 << g.attempt) - 1) * {RETRY_DELAY_US}
+         AS retry_at_backoff_us,
+       g.attempt = {MAX_RETRIES} AS gave_up
+FROM events e
+CROSS JOIN (SELECT UNNEST(generate_series(1, {MAX_RETRIES})) AS attempt) g
+WHERE e.event_type = 'error' AND e.ts IS NOT NULL
+ORDER BY e.event_id, g.attempt
+"""
+
+
 QUERIES = {
     "daily_usage_windows": daily_usage_windows,
     "rolling_daily_average": rolling_daily_average,
@@ -530,6 +665,8 @@ QUERIES = {
     "cache_ttl_filter": cache_ttl_filter,
     "user_sessions": user_sessions,
     "distinct_usage_stats": distinct_usage_stats,
+    "rate_limit_pacer": rate_limit_pacer,
+    "retry_schedule": retry_schedule,
 }
 
 ORACLES = {
@@ -542,4 +679,6 @@ ORACLES = {
     "cache_ttl_filter": ORACLE_CACHE_TTL_FILTER,
     "user_sessions": ORACLE_USER_SESSIONS,
     "distinct_usage_stats": ORACLE_DISTINCT_USAGE_STATS,
+    "rate_limit_pacer": ORACLE_RATE_LIMIT_PACER,
+    "retry_schedule": ORACLE_RETRY_SCHEDULE,
 }

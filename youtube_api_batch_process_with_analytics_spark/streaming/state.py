@@ -167,6 +167,86 @@ def ttl_cache_stream(entries: DataFrame, ttl_ms: int = 300_000) -> DataFrame:
     )
 
 
+PACER_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),  # NULL key = real group
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("arrival_us", T.LongType()),
+        T.StructField("admit_us", T.LongType()),
+    ]
+)
+
+PACER_STATE_SCHEMA = T.StructType([T.StructField("last_admit_us", T.LongType())])
+
+MIN_REQUEST_INTERVAL_US = 100_000  # config.py:33 — 0.1 s between requests
+
+
+def rate_limit_pacer_stream(
+    events: DataFrame, interval_us: int = MIN_REQUEST_INTERVAL_US
+) -> DataFrame:
+    """ST3 streaming — the min-interval pacer (``_rate_limit``,
+    youtube_api_handler.py:361-367) as incremental state: one BIGINT (the
+    previous admit stamp) per key, folded through
+    ``admit = max(arrival, last_admit + interval)`` for each event.
+
+    ``events`` needs (user_id LONG, event_id LONG, arrival_us LONG — an
+    unstamped request carries NULL and is passed through unpaced with a
+    NULL admit, never dropped and never corrupting the key's state).
+    Within a micro-batch rows are folded in (arrival_us, event_id) order;
+    across micro-batches the in-order-per-key contract applies — the same
+    single-threaded ordering the reference's pacer sees, and the same
+    contract the sessionization twin documents. Equivalence with the
+    batch closed form (operators/windows.py::rate_limit_pacer) under that
+    contract is pinned by tests/test_streaming_state.py, including
+    arbitrary micro-batch splits.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (last,) = state.get if state.exists else (None,)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            stamped = pdf[pdf["arrival_us"].notna()].sort_values(
+                ["arrival_us", "event_id"]
+            )
+            out_ids, out_arr, out_adm = [], [], []
+            for eid, arr in zip(stamped["event_id"], stamped["arrival_us"]):
+                arr = int(arr)
+                admit = arr if last is None else max(arr, last + interval_us)
+                last = admit
+                out_ids.append(None if pd.isna(eid) else int(eid))
+                out_arr.append(arr)
+                out_adm.append(admit)
+            unstamped = pdf[pdf["arrival_us"].isna()]
+            for eid in unstamped["event_id"]:
+                out_ids.append(None if pd.isna(eid) else int(eid))
+                out_arr.append(None)
+                out_adm.append(None)
+            if out_ids:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(out_ids),
+                        "event_id": out_ids,
+                        "arrival_us": pd.array(out_arr, dtype="Int64"),
+                        "admit_us": pd.array(out_adm, dtype="Int64"),
+                    }
+                )
+        if last is not None:
+            state.update((last,))
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        PACER_OUTPUT_SCHEMA,
+        PACER_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 LATCH_GATE_QUOTA = 50  # small quota so the sf0.01 fixture hits the latch
 
 
