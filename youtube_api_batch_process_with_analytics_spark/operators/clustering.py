@@ -151,6 +151,10 @@ QUANT_SCALE = 1000
 IVF_KM_TOP_K = 5
 IVF_KM_N_PROBE = 2
 IVF_KM_QUERY_STRIDE = 50
+# Fixed serving workload (see operators/similarity.py QUERY_ID_CAP):
+# bounds |Q| so probe-and-search work scales with the corpus, not
+# quadratically with it; a no-op below sf1 (cap exceeds every vec_id).
+QUERY_ID_CAP = 2_000
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,7 +345,8 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("nrm", _norm("vec"))
 
     queries = assigned.filter(
-        F.col("vec_id") % IVF_KM_QUERY_STRIDE == 0
+        (F.col("vec_id") % IVF_KM_QUERY_STRIDE == 0)
+        & (F.col("vec_id") < QUERY_ID_CAP)
     ).select(F.col("vec_id").alias("query_id"), "qvec")
     # probe: per query, the N_PROBE cells with smallest exact L2 to the
     # rational centroid — a map-only sorted-literal expression, built as
@@ -358,7 +363,10 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.explode(probed_cells).alias("cell")
     )
 
-    qf = full.filter(F.col("vec_id") % IVF_KM_QUERY_STRIDE == 0).select(
+    qf = full.filter(
+        (F.col("vec_id") % IVF_KM_QUERY_STRIDE == 0)
+        & (F.col("vec_id") < QUERY_ID_CAP)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec_f"),
         F.col("nrm").alias("qnrm"),
@@ -426,7 +434,7 @@ pd AS (
          CAST(SUM((s.n * q.x - s.s) * (s.n * q.x - s.s)) AS DOUBLE)
            / CAST(ANY_VALUE(s.n) * ANY_VALUE(s.n) AS DOUBLE) AS dist
   FROM qx q JOIN sF s ON s.pos = q.pos
-  WHERE q.vec_id % {IVF_KM_QUERY_STRIDE} = 0
+  WHERE q.vec_id % {IVF_KM_QUERY_STRIDE} = 0 AND q.vec_id < {QUERY_ID_CAP}
   GROUP BY q.vec_id, s.cluster
 ),
 probed AS (
@@ -605,7 +613,9 @@ def pq_adc_topk(
     width = PQ_DIM // PQ_M
     codes = pq_codes_query(spark, sf_dir)
     emb = _quantized(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") % stride == 0).select(
+    queries = emb.filter(
+        (F.col("vec_id") % stride == 0) & (F.col("vec_id") < QUERY_ID_CAP)
+    ).select(
         F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec")
     )
     for m, cents in enumerate(books):
@@ -729,7 +739,7 @@ m{m}qd AS (
          CAST(SUM((s.n * q.x - s.s) * (s.n * q.x - s.s)) AS DOUBLE)
            / CAST(ANY_VALUE(s.n) * ANY_VALUE(s.n) AS DOUBLE) AS d
   FROM m{m}qx q JOIN m{m}s{n_iter} s ON s.pos = q.pos
-  WHERE q.vec_id % {stride} = 0
+  WHERE q.vec_id % {stride} = 0 AND q.vec_id < {QUERY_ID_CAP}
   GROUP BY q.vec_id, s.cluster
 )"""
         )
