@@ -186,7 +186,9 @@ GROUP BY event_type ORDER BY entry_type
 SESSION_GAP_HOURS = 12
 
 
-def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def user_sessions(
+    spark: SparkSession, sf_dir: str, gap_hours: int = SESSION_GAP_HOURS
+) -> DataFrame:
     """Sessionization via native ``session_window`` (engine extension —
     the reference has no session semantics, SURVEY.md §2.9 note; a
     training-data/log pipeline needs them for activity analysis).
@@ -199,7 +201,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     events = events.filter(F.col("ts").isNotNull())  # see daily twin's note
-    sw = F.session_window(F.col("ts"), f"{SESSION_GAP_HOURS} hours")
+    sw = F.session_window(F.col("ts"), f"{gap_hours} hours")
     return (
         events.groupBy(F.col("user_id"), sw.alias("w"))
         .agg(
@@ -525,7 +527,9 @@ MAX_RETRIES = 3  # config.py:34
 RETRY_DELAY_US = 1_000_000  # config.py:35 — 1.0 s
 
 
-def rate_limit_pacer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rate_limit_pacer(
+    spark: SparkSession, sf_dir: str, interval_us: int = MIN_REQUEST_INTERVAL_US
+) -> DataFrame:
     """ST3 — the reference's min-interval rate limiter as dataflow
     (``_rate_limit``, youtube_api_handler.py:361-367): each request is
     admitted at ``max(arrival, previous_admit + MIN_REQUEST_INTERVAL)``.
@@ -560,7 +564,7 @@ def rate_limit_pacer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         F.unix_micros("ts").alias("arrival_us"),
-        ((seq - F.lit(1)).cast("long") * F.lit(MIN_REQUEST_INTERVAL_US)).alias(
+        ((seq - F.lit(1)).cast("long") * F.lit(interval_us)).alias(
             "slot_us"
         ),
     )
@@ -605,7 +609,12 @@ FROM p GROUP BY user_id ORDER BY user_id
 """
 
 
-def retry_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+def retry_schedule(
+    spark: SparkSession,
+    sf_dir: str,
+    max_retries: int = MAX_RETRIES,
+    delay_us: int = RETRY_DELAY_US,
+) -> DataFrame:
     """ST5 — the retry-with-backoff contract as dataflow (MAX_RETRIES /
     RETRY_DELAY, config.py:34-35; the 429 retry path in ``_make_request``,
     youtube_api_handler.py:400-404): each failed request is retried up to
@@ -625,20 +634,20 @@ def retry_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.unix_micros("ts").alias("failed_us"),
-        F.explode(F.sequence(F.lit(1), F.lit(MAX_RETRIES))).alias("attempt"),
+        F.explode(F.sequence(F.lit(1), F.lit(max_retries))).alias("attempt"),
     ).select(
         "event_id",
         "user_id",
         F.col("attempt").cast("long").alias("attempt"),
-        (F.col("failed_us") + F.col("attempt").cast("long") * RETRY_DELAY_US).alias(
+        (F.col("failed_us") + F.col("attempt").cast("long") * delay_us).alias(
             "retry_at_us"
         ),
         (
             F.col("failed_us")
             + (F.expr("CAST(shiftleft(1, attempt) AS BIGINT)") - F.lit(1))
-            * RETRY_DELAY_US
+            * delay_us
         ).alias("retry_at_backoff_us"),
-        (F.col("attempt") == MAX_RETRIES).alias("gave_up"),
+        (F.col("attempt") == max_retries).alias("gave_up"),
     )
 
 
