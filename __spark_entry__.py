@@ -104,6 +104,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #     round-4 demotion, re-attested by this round's three-tier replica;
 #   revenue_rollup → grouping family via channel_video_metrics's GROUPING
 #     SETS pass (kept, fresh r6 row) + daily_event_pivot's r5 row.
+# A third mid-round addition, semantic_dedup (SemDeDup-style cluster-
+# scoped semantic near-dup pruning composing the memoized integer-exact
+# Lloyd fit), also enters the head for its first driver row; one more
+# r5-hash-green keeper demotes to hold the head at 50:
+#   json_props_metrics → A12/§2.8 via duration_parse (promoted head) +
+#     approx_usage_sketch's exact-distinct side (kept) — the same
+#     justification as its late-round-4 demotion; its ST6 family
+#     remains covered by key_usage_rollup's r5 row + the replica.
 # The 37 demoted queries below are ALL hash-green in CORRECTNESS_r05.json
 # (this round's GATECHECK_r06.txt replica re-attests them at three tiers),
 # and each leaves its family covered in the head:
@@ -313,6 +321,7 @@ _GATE_TAIL = [
     "daily_event_pivot",
     "enrichment_join",
     "revenue_rollup",
+    "json_props_metrics",
 ]
 
 

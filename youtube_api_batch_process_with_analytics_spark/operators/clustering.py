@@ -793,11 +793,149 @@ ORDER BY query_id, rank"""
     return "".join(parts)
 
 
+SEMDEDUP_COS_THRESHOLD = 0.3
+# k is SemDeDup's scale knob: within-cell pairing is Σ|cell|², so a
+# production run grows k with the corpus (the paper uses 50k clusters at
+# web scale) to hold cell sizes — and therefore per-cell quadratic work —
+# constant. 32 keeps the fixture's cells tight at every tier; the fit is
+# the same memoized integer-exact Lloyd as the k=8 gate model.
+SEMDEDUP_K = 32
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic deduplication (Abbas et al.
+    2023, arXiv:2303.09540 — public method): assign every embedding to a
+    k-means cell (the gated integer-exact Lloyd model, memoized per
+    session like every fitted model here), then prune within-cell
+    semantic near-duplicates — a vector is a duplicate if some LOWER-id
+    vector in ITS cell has cosine ≥ τ (the paper's keep-one-per-group
+    policy made deterministic via keep-first).
+
+    Scale shape: pairing happens ONLY within a cell — Σ|cell|² work, the
+    SemDeDup design point (clustering exists precisely so dedup never
+    compares across cells); k grows with the corpus (k ∝ √N keeps cells
+    bounded) and the pair join shuffles on the cell key alone. Numerics:
+    cosine over the 1e-3-quantized BIGINT vectors — integer-exact dot and
+    norms, then one sqrt/multiply/divide IEEE chain and round-to-6 —
+    bit-identical across engines (the pq_adc_topk contract). Degenerate
+    all-zero quantizations are excluded explicitly on both engines.
+
+    Output: every valid vector with its cell, prune flag, and the id of
+    the retained representative it duplicates (−1 for survivors).
+    """
+    assigned, _ = _gate_kmeans(spark, sf_dir, k=SEMDEDUP_K)
+    nrm2 = F.aggregate(
+        F.transform("qvec", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # persist: the argmin-over-k assignment expression is the expensive
+    # map (k×d literal distance structs per row), and this frame feeds
+    # THREE plan branches (both sides of the pair join + the final left
+    # join) — without materialization each branch re-evaluates it.
+    # SemDeDup itself pipelines cluster-then-dedup as separate jobs with
+    # the assignment materialized between them; this is the in-session
+    # analog, same contract as the persisted shingle frame in dedup.py.
+    # Bounded: (id, cluster, qvec, nrm2) per valid vector.
+    v = (
+        assigned.select("vec_id", "cluster", "qvec")
+        .withColumn("nrm2", nrm2)
+        .filter(F.col("nrm2") > 0)
+        .persist()
+    )
+    a = v.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cluster").alias("a_cell"),
+        F.col("qvec").alias("a_q"),
+        F.col("nrm2").alias("a_n"),
+    )
+    dot = F.aggregate(
+        F.zip_with("a_q", "qvec", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(
+        dot.cast("double")
+        / (
+            F.sqrt(F.col("a_n").cast("double"))
+            * F.sqrt(F.col("nrm2").cast("double"))
+        ),
+        6,
+    )
+    dups = (
+        v.join(
+            a,
+            (F.col("a_cell") == F.col("cluster"))
+            & (F.col("a_id") < F.col("vec_id")),
+        )
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= SEMDEDUP_COS_THRESHOLD)
+        .groupBy("vec_id")
+        .agg(F.min("a_id").alias("dup_of_raw"))
+    )
+    return v.join(dups, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.coalesce("dup_of_raw", F.lit(-1)).alias("dup_of"),
+        F.col("dup_of_raw").isNotNull().alias("is_dup"),
+    )
+
+
+def oracle_semantic_dedup(
+    k: int = SEMDEDUP_K,
+    n_iter: int = KMEANS_GATE_ITERS,
+    scale: int = QUANT_SCALE,
+    tau: float = SEMDEDUP_COS_THRESHOLD,
+) -> str:
+    parts = [
+        f"""WITH emb AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qvec
+  FROM embeddings WHERE {_EMB_VALID}
+),
+qx AS (
+  SELECT vec_id, generate_subscripts(qvec, 1) AS pos, unnest(qvec) AS x
+  FROM emb
+),
+a0 AS (SELECT vec_id, CAST(vec_id % {k} AS INTEGER) AS cluster FROM emb)"""
+    ]
+    for r in range(1, n_iter + 1):
+        parts.append(_oracle_round(r))
+    parts.append(
+        f""",
+v AS (
+  SELECT e.vec_id, a.cluster, e.qvec,
+         list_reduce(list_transform(e.qvec, x -> x * x),
+                     (acc, y) -> acc + y) AS nrm2
+  FROM emb e JOIN a{n_iter} a USING (vec_id)
+  WHERE list_reduce(list_transform(e.qvec, x -> x * x),
+                    (acc, y) -> acc + y) > 0
+),
+dups AS (
+  SELECT b.vec_id, MIN(a.vec_id) AS dup_of_raw
+  FROM v a JOIN v b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ROUND(CAST(list_reduce(list_transform(list_zip(a.qvec, b.qvec),
+                  p -> p[1] * p[2]), (acc, y) -> acc + y) AS DOUBLE)
+              / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))),
+              6) >= {tau}
+  GROUP BY b.vec_id
+)
+SELECT v.vec_id, v.cluster,
+       COALESCE(d.dup_of_raw, -1) AS dup_of,
+       d.dup_of_raw IS NOT NULL AS is_dup
+FROM v LEFT JOIN dups d USING (vec_id)
+ORDER BY v.vec_id"""
+    )
+    return "".join(parts)
+
+
 QUERIES = {
     "kmeans_cells": kmeans_cells_query,
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "pq_codes": pq_codes_query,
     "pq_adc_topk": pq_adc_topk,
+    "semantic_dedup": semantic_dedup,
 }
 
 ORACLES = {
@@ -805,4 +943,5 @@ ORACLES = {
     "ann_ivf_kmeans": oracle_ann_ivf_kmeans(),
     "pq_codes": oracle_pq_codes(),
     "pq_adc_topk": oracle_pq_adc_topk(),
+    "semantic_dedup": oracle_semantic_dedup(),
 }
