@@ -186,3 +186,39 @@ CROSS JOIN (SELECT UNNEST(generate_series(1, {retries})) AS attempt) g
 WHERE e.event_type = 'error' AND e.ts IS NOT NULL
 ORDER BY e.event_id, g.attempt""",
     )
+
+
+@pytest.mark.parametrize("k,n_iter", [(4, 1), (16, 2)])
+def test_kmeans_cells_params(spark, sf_dir, duck, k, n_iter):
+    """The integer-exact Lloyd gate twin as a FUNCTION of (k, n_iter):
+    the generated DuckDB oracle chain re-derives the same rounds."""
+    from youtube_api_batch_process_with_analytics_spark.operators import (
+        clustering as C,
+    )
+
+    assigned, _ = C._gate_kmeans(spark, sf_dir, k=k, n_iter=n_iter)
+    _check(
+        assigned.select("vec_id", "cluster"),
+        duck,
+        C.oracle_kmeans_cells(k=k, n_iter=n_iter),
+    )
+
+
+@pytest.mark.parametrize(
+    "k,tau",
+    [
+        (8, 0.3),  # coarser cells than the gate's k=32 -> more candidates
+        (32, 0.9),  # near-exact-duplicate threshold -> few/no dups
+        (16, 0.15),  # loose threshold -> heavy pruning
+    ],
+)
+def test_semantic_dedup_params(spark, sf_dir, duck, k, tau):
+    from youtube_api_batch_process_with_analytics_spark.operators import (
+        clustering as C,
+    )
+
+    _check(
+        C.semantic_dedup(spark, sf_dir, k=k, tau=tau),
+        duck,
+        C.oracle_semantic_dedup(k=k, tau=tau),
+    )

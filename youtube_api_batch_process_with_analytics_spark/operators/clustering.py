@@ -802,7 +802,12 @@ SEMDEDUP_COS_THRESHOLD = 0.3
 SEMDEDUP_K = 32
 
 
-def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = SEMDEDUP_K,
+    tau: float = SEMDEDUP_COS_THRESHOLD,
+) -> DataFrame:
     """SemDeDup-style cluster-scoped semantic deduplication (Abbas et al.
     2023, arXiv:2303.09540 — public method): assign every embedding to a
     k-means cell (the gated integer-exact Lloyd model, memoized per
@@ -823,7 +828,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: every valid vector with its cell, prune flag, and the id of
     the retained representative it duplicates (−1 for survivors).
     """
-    assigned, _ = _gate_kmeans(spark, sf_dir, k=SEMDEDUP_K)
+    assigned, _ = _gate_kmeans(spark, sf_dir, k=k)
     nrm2 = F.aggregate(
         F.transform("qvec", lambda x: x * x),
         F.lit(0).cast("long"),
@@ -869,7 +874,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a_id") < F.col("vec_id")),
         )
         .withColumn("cos", cos)
-        .filter(F.col("cos") >= SEMDEDUP_COS_THRESHOLD)
+        .filter(F.col("cos") >= tau)
         .groupBy("vec_id")
         .agg(F.min("a_id").alias("dup_of_raw"))
     )
