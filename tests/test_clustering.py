@@ -249,3 +249,46 @@ def test_pq_survives_empty_clusters(spark, tmp_path):
     assert out
     # identical replicas of the query vector must rerank to exact_dist 0
     assert all(r.exact_dist == 0 for r in out if r.rank == 1)
+
+
+def test_semantic_dedup_matches_numpy_reference(spark, sf_dir):
+    """Independent replica of semantic_dedup in numpy: take the ENGINE's
+    cluster assignment (itself oracle- and numpy-pinned above), then
+    re-derive the keep-first survivorship from scratch — exact int64
+    dot/norm arithmetic, same rounded-cosine threshold. Catches a shared
+    closed-form bug the DuckDB twin (same SQL shape) could hide."""
+    from youtube_api_batch_process_with_analytics_spark.operators.clustering import (
+        SEMDEDUP_COS_THRESHOLD,
+        SEMDEDUP_K,
+        _gate_kmeans,
+        semantic_dedup,
+    )
+
+    assigned, _ = _gate_kmeans(spark, sf_dir, k=SEMDEDUP_K)
+    rows = assigned.select("vec_id", "cluster", "qvec").collect()
+    got = {
+        r.vec_id: (r.cluster, r.dup_of, r.is_dup)
+        for r in semantic_dedup(spark, sf_dir).collect()
+    }
+
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        q = np.array(r.qvec, dtype=np.int64)
+        if (q * q).sum() == 0:
+            continue
+        by_cell.setdefault(r.cluster, []).append((r.vec_id, q))
+    want = {}
+    for cell, members in by_cell.items():
+        members.sort()
+        mats = np.stack([q for _, q in members])
+        norms = np.sqrt((mats * mats).sum(axis=1).astype(np.float64))
+        for i, (vid, q) in enumerate(members):
+            dup_of = -1
+            for j in range(i):
+                dot = int(np.dot(mats[j], q))  # exact int64
+                cos = round(dot / (norms[j] * norms[i]), 6)
+                if cos >= SEMDEDUP_COS_THRESHOLD:
+                    dup_of = members[j][0]
+                    break  # members sorted -> first hit IS the min id
+            want[vid] = (cell, dup_of, dup_of != -1)
+    assert got == want

@@ -149,3 +149,39 @@ def test_no_global_sort_at_any_query_root(spark, sf_dir):
             node, "global"
         )()
         assert not is_global_sort, f"{name} ends in a global sort"
+
+
+def test_pacer_single_shuffle_single_sort(spark, sf_dir):
+    """ST3: the max-plus closed form must compile to ONE key shuffle and
+    ONE sort — the row_number and the running max share the window spec,
+    and the final per-key aggregation reuses the window's partitioning.
+    An extra Exchange here means the closed form regressed to a
+    re-shuffling formulation."""
+    df = _QUERIES["rate_limit_pacer"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(user_id" in plan
+    # both window functions share the partition+order spec: two stacked
+    # Window nodes fed by a single Sort - no re-sort between them
+    assert plan.count("+- Window") == 2
+    assert plan.count("+- Sort") == 1
+
+
+def test_retry_schedule_is_map_only(spark, sf_dir):
+    """ST5: the schedule expansion must stay shuffle-free — explode over a
+    literal sequence plus arithmetic, nothing else."""
+    plan = _plan(_QUERIES["retry_schedule"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+
+
+def test_semantic_dedup_no_cartesian(spark, sf_dir):
+    """SemDeDup: the pair join must be an equi-join on the cell key (plus
+    the id inequality as a post-condition) — never a cartesian/NLJ pair
+    expansion across cells."""
+    plan = _plan(_QUERIES["semantic_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the persisted assignment is read from the in-memory relation, not
+    # recomputed per branch
+    assert "InMemoryTableScan" in plan
