@@ -222,3 +222,53 @@ def test_semantic_dedup_params(spark, sf_dir, duck, k, tau):
         duck,
         C.oracle_semantic_dedup(k=k, tau=tau),
     )
+
+
+@pytest.mark.parametrize(
+    "chunk_tokens,overlap",
+    [(16, 0), (32, 31), (100000, 5)],  # no-overlap, max-overlap, one-chunk
+)
+def test_chunk_documents_params(spark, sf_dir, duck, chunk_tokens, overlap):
+    from youtube_api_batch_process_with_analytics_spark.operators import (
+        chunking as CH,
+    )
+
+    _check(
+        CH.chunk_documents(
+            CH._docs(spark, sf_dir), chunk_tokens=chunk_tokens, overlap=overlap
+        ),
+        duck,
+        CH.oracle_chunk_documents(chunk_tokens=chunk_tokens, overlap=overlap),
+    )
+
+
+@pytest.mark.parametrize("val_permille", [0, 500, 1000])  # none, half, all
+def test_split_by_hash_params(spark, sf_dir, duck, val_permille):
+    from youtube_api_batch_process_with_analytics_spark.operators import (
+        chunking as CH,
+    )
+
+    df = CH.split_by_hash(
+        CH._docs(spark, sf_dir).select("doc_id"), val_permille=val_permille
+    ).select("doc_id", "split_bucket", "split")
+    _check(df, duck, CH.oracle_split_by_hash(val_permille=val_permille))
+
+
+@pytest.mark.parametrize("budget", [1, 64, 10**9])  # every-doc-own-bin .. one-bin
+def test_pack_sequences_params(spark, sf_dir, duck, budget):
+    from youtube_api_batch_process_with_analytics_spark.operators import (
+        chunking as CH,
+    )
+
+    with_tokens = CH._docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    _check(
+        CH.pack_sequences(with_tokens, budget=budget),
+        duck,
+        CH.oracle_pack_sequences(budget=budget),
+    )
