@@ -272,3 +272,32 @@ def test_pack_sequences_params(spark, sf_dir, duck, budget):
         duck,
         CH.oracle_pack_sequences(budget=budget),
     )
+
+
+@pytest.mark.parametrize("n_merges", [1, 3])  # the gate pins 6
+def test_bpe_merges_params(spark, sf_dir, duck, n_merges):
+    """BPE training as a function of the merge count: the n-round DuckDB
+    CTE chain re-derives the same greedy argmax sequence."""
+    from youtube_api_batch_process_with_analytics_spark.operators import bpe as B
+
+    merges = B._fitted_merges(spark, sf_dir, n_merges=n_merges)
+    df = spark.createDataFrame(
+        merges,
+        "merge_round int, left_sym string, right_sym string,"
+        " merged_sym string, pair_count long",
+    )
+    _check(df, duck, B.oracle_bpe_merges(n_merges=n_merges))
+
+
+@pytest.mark.parametrize("n_merges", [2])
+def test_bpe_fertility_params(spark, sf_dir, duck, n_merges):
+    """Fertility under a SMALLER learned vocabulary than the gate's."""
+    from youtube_api_batch_process_with_analytics_spark.operators import bpe as B
+    from youtube_api_batch_process_with_analytics_spark.sources import (
+        load_table,
+        spread,
+    )
+
+    merges = B._fitted_merges(spark, sf_dir, n_merges=n_merges)
+    df = B.bpe_fertility(spread(load_table(spark, sf_dir, "documents")), merges)
+    _check(df, duck, B.oracle_bpe_fertility(n_merges=n_merges))
