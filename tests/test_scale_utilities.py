@@ -147,3 +147,42 @@ def test_run_batch_mixed_requests(spark, sf_dir):
     assert out["video_type_distribution_1"]["status"] == "success"
     assert out["no_such_query_2"]["status"] == "error"
     assert out["no_such_query_2"]["error"]
+
+
+def test_run_batch_bounds_concurrency(spark, sf_dir):
+    """C4's dispatch bound: the batch envelope must never run more than
+    MAX_CONCURRENT_WORKERS requests simultaneously — the reference's
+    ≤5-thread pool (config.py:40, youtube_api_handler.py:895), pinned by
+    a high-water-mark counter inside a registry stub."""
+    import threading
+    import time
+
+    from youtube_api_batch_process_with_analytics_spark.plans.batch import (
+        MAX_CONCURRENT_WORKERS,
+        BatchRequest,
+        run_batch,
+    )
+
+    lock = threading.Lock()
+    state = {"now": 0, "peak": 0}
+
+    def tracked(spark_, sf_dir_):
+        with lock:
+            state["now"] += 1
+            state["peak"] = max(state["peak"], state["now"])
+        time.sleep(0.05)  # hold the slot so overlap is observable
+        with lock:
+            state["now"] -= 1
+        return spark_.range(1)
+
+    out = run_batch(
+        spark,
+        sf_dir,
+        [BatchRequest("tracked") for _ in range(15)],
+        {"tracked": tracked},
+        collect=True,
+    )
+    assert all(v["status"] == "success" for v in out.values())
+    assert state["peak"] <= MAX_CONCURRENT_WORKERS, state
+    # and the pool genuinely overlaps work (not serialized dispatch)
+    assert state["peak"] >= 2, state
