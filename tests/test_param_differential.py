@@ -301,3 +301,33 @@ def test_bpe_fertility_params(spark, sf_dir, duck, n_merges):
     merges = B._fitted_merges(spark, sf_dir, n_merges=n_merges)
     df = B.bpe_fertility(spread(load_table(spark, sf_dir, "documents")), merges)
     _check(df, duck, B.oracle_bpe_fertility(n_merges=n_merges))
+
+
+@pytest.mark.parametrize(
+    "n_bands,band_bits,threshold",
+    [
+        (2, 8, 0.25),  # fewer/wider bands: fewer candidates (scale-up knob)
+        (8, 4, 0.3),  # more/narrower bands: higher recall
+        (1, 12, 0.2),  # single wide band
+    ],
+)
+def test_dedup_embedding_cosine_params(
+    spark, sf_dir, duck, n_bands, band_bits, threshold
+):
+    """The sign-LSH band structure as a FUNCTION of (bands, bits, τ) —
+    the documented 100 TB scale knob (wider bands cut candidate volume
+    as the corpus grows, like MinHash's (bands, rows))."""
+    from youtube_api_batch_process_with_analytics_spark.operators import (
+        dedup as D,
+    )
+
+    _check(
+        D.dedup_embedding_cosine(
+            spark, sf_dir, n_bands=n_bands, band_bits=band_bits,
+            threshold=threshold,
+        ),
+        duck,
+        D.oracle_dedup_embedding_cosine(
+            n_bands=n_bands, band_bits=band_bits, threshold=threshold
+        ),
+    )

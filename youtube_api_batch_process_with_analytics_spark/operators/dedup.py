@@ -413,7 +413,13 @@ EMB_BAND_BITS = 6      # 6 sign bits per band → 64 buckets per band
 EMB_COSINE_THRESHOLD = 0.25
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bands: int = EMB_N_BANDS,
+    band_bits: int = EMB_BAND_BITS,
+    threshold: float = EMB_COSINE_THRESHOLD,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH banding.
 
     The vector analog of MinHash-LSH (same shape as the reference-free
@@ -445,17 +451,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = valid_embeddings(spread(emb_scan)).select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("vec")
     ).withColumn("nrm", norm)
+    if n_bands * band_bits > 64:
+        raise ValueError("band structure exceeds the embedding dimension")
     bucket_exprs = [
         F.struct(
             F.lit(b).alias("band_idx"),
             sum(
                 F.when(
-                    F.element_at("vec", b * EMB_BAND_BITS + i + 1) >= 0, F.lit(1 << i)
+                    F.element_at("vec", b * band_bits + i + 1) >= 0, F.lit(1 << i)
                 ).otherwise(F.lit(0))
-                for i in range(EMB_BAND_BITS)
+                for i in range(band_bits)
             ).alias("bucket"),
         )
-        for b in range(EMB_N_BANDS)
+        for b in range(n_bands)
     ]
     banded = emb.select(
         "vec_id", F.explode(F.array(*bucket_exprs)).alias("b")
@@ -498,7 +506,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidates.join(ea, "vec_id_a")
         .join(eb, "vec_id_b")
         .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
-        .filter(F.col("cosine") >= EMB_COSINE_THRESHOLD)
+        .filter(F.col("cosine") >= threshold)
         .select("vec_id_a", "vec_id_b", "cosine")
     )
 
@@ -513,16 +521,51 @@ _DUCK_EMB_NORM = (
 )
 
 
-def _duck_emb_bands() -> str:
+def _duck_emb_bands(
+    n_bands: int = EMB_N_BANDS, band_bits: int = EMB_BAND_BITS
+) -> str:
     rows = []
-    for b in range(EMB_N_BANDS):
+    for b in range(n_bands):
         bits = " + ".join(
-            f"(CASE WHEN vec[{b * EMB_BAND_BITS + i + 1}] >= 0 "
+            f"(CASE WHEN vec[{b * band_bits + i + 1}] >= 0 "
             f"THEN {1 << i} ELSE 0 END)"
-            for i in range(EMB_BAND_BITS)
+            for i in range(band_bits)
         )
         rows.append(f"SELECT vec_id, {b} AS band_idx, {bits} AS bucket FROM emb")
     return " UNION ALL ".join(rows)
+
+
+def oracle_dedup_embedding_cosine(
+    n_bands: int = EMB_N_BANDS,
+    band_bits: int = EMB_BAND_BITS,
+    threshold: float = EMB_COSINE_THRESHOLD,
+) -> str:
+    return f"""
+WITH emb AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+         {_DUCK_EMB_NORM.format(a="embedding")} AS nrm
+  FROM embeddings WHERE {_EMB_VALID}
+),
+banded AS ({_duck_emb_bands(n_bands, band_bits)}),
+candidates AS (
+  SELECT DISTINCT l.vec_id AS vec_id_a, r.vec_id AS vec_id_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.bucket = r.bucket
+   AND l.vec_id < r.vec_id
+),
+scored AS (
+  SELECT c.vec_id_a, c.vec_id_b,
+         ROUND({_DUCK_EMB_DOT.format(a="a.vec", b="b.vec")}
+               / (a.nrm * b.nrm), 6) AS cosine
+  FROM candidates c
+  JOIN emb a ON c.vec_id_a = a.vec_id
+  JOIN emb b ON c.vec_id_b = b.vec_id
+)
+SELECT vec_id_a, vec_id_b, cosine FROM scored
+WHERE cosine >= {threshold}
+ORDER BY vec_id_a, vec_id_b
+"""
 
 
 ORACLE_DEDUP_EMBEDDING_COSINE = f"""
