@@ -112,6 +112,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #     approx_usage_sketch's exact-distinct side (kept) — the same
 #     justification as its late-round-4 demotion; its ST6 family
 #     remains covered by key_usage_rollup's r5 row + the replica.
+# LATE-ROUND-6 ADDITIONS: perplexity_buckets (CCNet-style equal-count
+# LM-quality partition — integer-exact tertiles over the bounded score
+# histogram, composing the memoized bigram-LM fit) and
+# dsir_importance_weights (DSIR hashed-unigram importance weights,
+# transcendental-free ppm-ratio analog) enter the head for their first
+# driver rows; two r5-hash-green keepers demote to hold the head at 50:
+#   bigram_lm_quality → its r5 row is current (this round's memoization
+#     left all three tier hashes unchanged, attested in GATECHECK_r06),
+#     and the LM family stays head-gated by perplexity_buckets (which
+#     embeds the identical _bigram_lm_scores leg end-to-end) +
+#     tfidf_top_terms/bm25_search (promoted head);
+#   ngram_jaccard_pairs → r5-green; only its DuckDB twin SQL was
+#     rewritten this round (posting-list shape), and that twin is
+#     re-attested at all three tiers incl. sf1 by the GATECHECK_r06
+#     replica; the shingle posting-list family stays head-gated by
+#     benchmark_contamination (promoted head) + dedup_connected_
+#     components (promoted head, same pair-graph machinery).
 # The 37 demoted queries below are ALL hash-green in CORRECTNESS_r05.json
 # (this round's GATECHECK_r06.txt replica re-attests them at three tiers),
 # and each leaves its family covered in the head:
@@ -322,6 +339,8 @@ _GATE_TAIL = [
     "enrichment_join",
     "revenue_rollup",
     "json_props_metrics",
+    "bigram_lm_quality",
+    "ngram_jaccard_pairs",
 ]
 
 
@@ -351,6 +370,8 @@ _PLAN_CACHE_SKIP = {
     "tfidf_top_terms",
     "bigram_lm_quality",
     "curation_pipeline_v2",
+    # embeds the LM fit's localCheckpoint when it is the first consumer
+    "perplexity_buckets",
 }
 
 

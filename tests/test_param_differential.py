@@ -331,3 +331,49 @@ def test_dedup_embedding_cosine_params(
             n_bands=n_bands, band_bits=band_bits, threshold=threshold
         ),
     )
+
+
+@pytest.mark.parametrize("n_buckets", [2, 4, 7])  # the gate pins CCNet's 3
+def test_perplexity_buckets_params(spark, sf_dir, duck, n_buckets):
+    """Equal-count LM-quality partitioning as a FUNCTION of the quantile
+    count — 2 (median split), 4 (quartiles), 7 (odd, non-divisor of the
+    corpus size, exercises the ceil boundaries and tie spill)."""
+    from youtube_api_batch_process_with_analytics_spark.operators import (
+        ranking as R,
+    )
+
+    _check(
+        R.perplexity_buckets(spark, sf_dir, n_buckets=n_buckets),
+        duck,
+        R.oracle_perplexity_buckets(n_buckets=n_buckets),
+    )
+
+
+@pytest.mark.parametrize(
+    "n_hash_buckets,target_lang",
+    [
+        (64, "de"),  # coarse feature space, minority-language target
+        (256, "zh"),
+        (1024, "xx"),  # nonexistent target -> Nt=0, pure-smoothing ratios
+    ],
+)
+def test_dsir_importance_weights_params(
+    spark, sf_dir, duck, n_hash_buckets, target_lang
+):
+    """DSIR weights as a FUNCTION of (feature-space size, target domain),
+    including the degenerate empty-target corner where every ratio
+    collapses to the Laplace prior."""
+    from youtube_api_batch_process_with_analytics_spark.operators import (
+        sampling as S,
+    )
+
+    _check(
+        S.dsir_importance_weights(
+            spark, sf_dir, n_hash_buckets=n_hash_buckets,
+            target_lang=target_lang,
+        ),
+        duck,
+        S.oracle_dsir_importance_weights(
+            n_hash_buckets=n_hash_buckets, target_lang=target_lang
+        ),
+    )

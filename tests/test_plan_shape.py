@@ -201,3 +201,36 @@ def test_semantic_dedup_no_cartesian(spark, sf_dir):
     # the persisted assignment is read from the in-memory relation, not
     # recomputed per branch
     assert "InMemoryTableScan" in plan
+
+
+def test_dsir_ratio_join_is_broadcast(spark, sf_dir):
+    """DSIR: the per-doc rollup joins a ≤1024-row bucket-stats frame —
+    it must broadcast (no shuffle of the corpus-sized doc-bucket side on
+    the join key), and the whole query carries no pair expansion."""
+    from youtube_api_batch_process_with_analytics_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    plan = _plan(dsir_importance_weights(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_perplexity_buckets_histogram_bounded_window(spark, sf_dir):
+    """CCNet buckets: the only window runs over the bounded score
+    histogram (≤1e6+1 rows by construction), never the corpus — the
+    corpus-sized side reaches the output through hash aggregates and a
+    broadcast of the two boundary scalars only."""
+    from youtube_api_batch_process_with_analytics_spark.operators.ranking import (
+        perplexity_buckets,
+    )
+
+    plan = _plan(perplexity_buckets(spark, sf_dir))
+    # exactly one Window node (the histogram cumsum) - the corpus path has
+    # none ("formatted" prints each node once in the tree and once in the
+    # detail section, hence the tree-shaped needle)
+    assert plan.count(" Window (") == 1, plan
+    # boundary scalars and LM vocab count reach the big side as broadcasts
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

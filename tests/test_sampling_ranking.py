@@ -493,3 +493,112 @@ def test_vertical_tab_documents_hash_match_oracle(spark, tmp_path):
     # doc 1 and 2 normalize to the same content → same fingerprint
     fps = {r.doc_id: r.fingerprint for r in doc_fingerprint(spark, str(tmp_path)).collect()}
     assert fps[1] == fps[2]
+
+
+def test_dsir_weights_match_pure_python_reference(spark, sf_dir):
+    """DSIR importance weights vs an INDEPENDENT pure-Python reference
+    (hashlib md5 + Counter arithmetic — no Spark, no DuckDB): tokenize,
+    hash into 1024 buckets, fit raw/target counts, smooth, and fold the
+    per-doc integer means exactly as the operator's contract states."""
+    import hashlib
+    import re as _re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from youtube_api_batch_process_with_analytics_spark.operators import (
+        sampling as S,
+    )
+
+    B, target = S.DSIR_BUCKETS, S.DSIR_TARGET_LANG
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_pylist()
+    doc_bucket: dict = {}
+    cr: Counter = Counter()
+    ct: Counter = Counter()
+    for row in docs:
+        toks = [
+            t
+            for t in _re.split(r"[^a-z0-9]+", (row["text"] or "").lower())
+            if t
+        ]
+        for t in toks:
+            h = hashlib.md5((S.DSIR_SALT + t).encode()).hexdigest()[:8]
+            b = int(h, 16) % B
+            doc_bucket.setdefault(row["doc_id"], Counter())[b] += 1
+            cr[b] += 1
+            if row["lang"] == target:
+                ct[b] += 1
+    nr, nt = sum(cr.values()), sum(ct.values())
+    # HALF_UP like Spark's F.round / DuckDB's ROUND (Python round() is
+    # banker's); all values positive
+    ratio = {
+        b: math.floor(
+            (ct[b] + 1.0) * (nr + B) * 1e6 / ((cr[b] + 1.0) * (nt + B)) + 0.5
+        )
+        for b in cr
+    }
+    expected = {}
+    for d, bc in doc_bucket.items():
+        n = sum(bc.values())
+        w = sum(c * ratio[b] for b, c in bc.items())
+        expected[d] = (n, w // n)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_ratio_ppm"])
+        for r in S.dsir_importance_weights(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_perplexity_bucket_invariants(spark, sf_dir):
+    """Structural invariants of the CCNet-style split: buckets partition
+    the corpus exactly; score ranges are strictly ordered tail < middle
+    < head (ties fall to the LOWER bucket, so ranges never overlap); the
+    tail holds at least ceil(n/3) scored docs; 'unscored' is exactly the
+    <2-token documents."""
+    from youtube_api_batch_process_with_analytics_spark.operators import (
+        ranking as R,
+    )
+
+    rows = R.perplexity_buckets(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+
+    agg: dict = {}
+    for r in rows:
+        a = agg.setdefault(r.bucket, {"n": 0, "mn": None, "mx": None})
+        a["n"] += r.n_docs
+        if r.min_score_micro is not None:
+            a["mn"] = (
+                r.min_score_micro
+                if a["mn"] is None
+                else min(a["mn"], r.min_score_micro)
+            )
+            a["mx"] = (
+                r.max_score_micro
+                if a["mx"] is None
+                else max(a["mx"], r.max_score_micro)
+            )
+    if "tail" in agg and "middle" in agg:
+        assert agg["tail"]["mx"] < agg["middle"]["mn"]
+    if "middle" in agg and "head" in agg:
+        assert agg["middle"]["mx"] < agg["head"]["mn"]
+
+    n_scored = sum(v["n"] for k, v in agg.items() if k != "unscored")
+    if n_scored >= 3:
+        assert agg["tail"]["n"] >= (n_scored + 2) // 3
+
+    n_short = docs.filter(
+        F.size(
+            F.filter(
+                F.split(
+                    F.lower(F.coalesce("text", F.lit(""))), "[^a-z0-9]+"
+                ),
+                lambda t: t != "",
+            )
+        )
+        < 2
+    ).count()
+    assert agg.get("unscored", {"n": 0})["n"] == n_short

@@ -387,8 +387,10 @@ def _bigram_lm_scores(
     )
 
 
-ORACLE_BIGRAM_LM_QUALITY = f"""
-WITH toked AS (
+# Shared CTE body producing ``lm(doc_id, n_bigrams, lm_score)`` — the
+# DuckDB twin of _bigram_lm_scores, reused verbatim by the bucketing
+# oracle below so both twins score against the identical fitted LM.
+_LM_SCORE_CTES = f"""toked AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(coalesce(text, '')), '{TOKEN_SPLIT_RE}'),
                      t -> t <> '') AS toks
@@ -417,20 +419,176 @@ per_doc AS (
              list_sort(list(struct_pack(pos := pos, p := p))), s -> s.p),
            (acc, x) -> acc + x) AS _sum_p
   FROM probs GROUP BY doc_id
-)
-SELECT doc_id, n_bigrams, ROUND(_sum_p / n_bigrams, 6) AS lm_score
-FROM per_doc ORDER BY doc_id
+),
+lm AS (
+  SELECT doc_id, n_bigrams, ROUND(_sum_p / n_bigrams, 6) AS lm_score
+  FROM per_doc
+)"""
+
+ORACLE_BIGRAM_LM_QUALITY = f"""
+WITH {_LM_SCORE_CTES}
+SELECT doc_id, n_bigrams, lm_score
+FROM lm ORDER BY doc_id
 """
+
+
+PPL_N_BUCKETS = 3  # CCNet's head / middle / tail split
+
+
+def _ppl_labels(n_buckets: int) -> list[str]:
+    # CCNet names for the canonical 3-way split; generic quantile names
+    # otherwise (ascending lm_score = ascending "typicality", so q1/tail
+    # is the least-typical slice a curation pass would drop first).
+    if n_buckets == 3:
+        return ["tail", "middle", "head"]
+    return [f"q{i}" for i in range(1, n_buckets + 1)]
+
+
+def perplexity_buckets(
+    spark: SparkSession, sf_dir: str, n_buckets: int = PPL_N_BUCKETS
+) -> DataFrame:
+    """CCNet-style corpus partition into equal-count LM-quality buckets
+    (Wenzek et al. 2020: score every paragraph with a corpus LM, split at
+    perplexity tertiles, keep head/middle). Here the score is the
+    transcendental-free bigram-LM mean probability (``bigram_lm_quality``,
+    higher = more typical), so 'head' is the MOST typical third.
+
+    Integer-exact bucketing, no global sort: scores are 6-decimal
+    probabilities, so ``round(lm_score·1e6)`` is an exact BIGINT in
+    [0, 1e6] — the score HISTOGRAM is bounded at 1,000,001 rows no matter
+    the corpus size. Tertile boundaries come from a cumulative sum over
+    that bounded histogram (single-partition window over ≤1e6 rows — the
+    same bounded-frame contract as the language dim), then bucket
+    assignment is a map-side CASE against two broadcast scalars. The only
+    corpus-sized shuffles are the LM stats/scoring ones, and those hit
+    the session-memoized fitted model (``_corpus_lm_stats``) when
+    ``bigram_lm_quality`` or ``curation_pipeline_v2`` ran first.
+
+    Docs with <2 tokens have no bigram score and land in 'unscored'
+    (CCNet likewise sidelines empty paragraphs). Boundary ties all fall
+    to the lower bucket — sizes are ceil-split up to tie mass, and the
+    assignment is deterministic across engines because every compared
+    quantity is a BIGINT.
+
+    Reference anchor: the closest reference shape is the per-channel
+    language frequency rollup (``youtube_api_handler.py:1119-1122``);
+    this generalizes it to corpus-statistics-driven partitioning.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lm = _bigram_lm_scores(
+        spark, sf_dir, docs.select("doc_id", _tokens().alias("toks"))
+    )
+    scored = lm.select(
+        "doc_id",
+        F.round(F.col("lm_score") * 1e6).cast("long").alias("score_micro"),
+    )
+    hist = scored.groupBy("score_micro").agg(F.count("*").alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("score_micro").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    # b_i = smallest score with cum ≥ ceil(i·n/k): the i-th k-quantile
+    # boundary, integer-exact via (i·n + k − 1) DIV k
+    bounds = cum.join(F.broadcast(tot)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr(f"({i} * n + {n_buckets - 1}) DIV {n_buckets}"),
+                    F.col("score_micro"),
+                )
+            ).alias(f"b{i}")
+            for i in range(1, n_buckets)
+        ]
+    )
+    labels = _ppl_labels(n_buckets)
+    bucket = F.when(F.col("score_micro").isNull(), F.lit("unscored"))
+    for i in range(1, n_buckets):
+        bucket = bucket.when(
+            F.col("score_micro") <= F.col(f"b{i}"), F.lit(labels[i - 1])
+        )
+    bucket = bucket.otherwise(F.lit(labels[-1]))
+    return (
+        docs.select("doc_id", "lang")
+        .join(scored, "doc_id", "left")
+        .join(F.broadcast(bounds))
+        .select("lang", bucket.alias("bucket"), "score_micro")
+        .groupBy("bucket", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            # the 'unscored' group aggregates all-NULL scores; report 0
+            # score mass instead of NULL so the output columns stay
+            # non-nullable BIGINT (a NULL here coerces the whole column
+            # to float64 on the gate's pandas fetch path)
+            F.coalesce(F.sum("score_micro"), F.lit(0)).alias(
+                "sum_score_micro"
+            ),
+            F.coalesce(F.min("score_micro"), F.lit(0)).alias(
+                "min_score_micro"
+            ),
+            F.coalesce(F.max("score_micro"), F.lit(0)).alias(
+                "max_score_micro"
+            ),
+        )
+    )
+
+
+def oracle_perplexity_buckets(n_buckets: int = PPL_N_BUCKETS) -> str:
+    labels = _ppl_labels(n_buckets)
+    bound_cols = ", ".join(
+        f"MIN(CASE WHEN cum >= ({i} * n + {n_buckets - 1}) // {n_buckets} "
+        f"THEN score_micro END) AS b{i}"
+        for i in range(1, n_buckets)
+    )
+    case_arms = " ".join(
+        f"WHEN s.score_micro <= bd.b{i} THEN '{labels[i - 1]}'"
+        for i in range(1, n_buckets)
+    )
+    return f"""
+WITH {_LM_SCORE_CTES},
+scored AS (
+  SELECT doc_id, CAST(ROUND(lm_score * 1e6) AS BIGINT) AS score_micro FROM lm
+),
+hist AS (SELECT score_micro, COUNT(*) AS cnt FROM scored GROUP BY 1),
+cum AS (
+  SELECT score_micro, SUM(cnt) OVER (ORDER BY score_micro) AS cum FROM hist
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+bounds AS (SELECT {bound_cols} FROM cum, tot)
+SELECT CASE WHEN s.score_micro IS NULL THEN 'unscored'
+            {case_arms}
+            ELSE '{labels[-1]}' END AS bucket,
+       d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       COALESCE(CAST(SUM(s.score_micro) AS BIGINT), 0) AS sum_score_micro,
+       COALESCE(MIN(s.score_micro), 0) AS min_score_micro,
+       COALESCE(MAX(s.score_micro), 0) AS max_score_micro
+FROM documents d
+LEFT JOIN scored s ON d.doc_id = s.doc_id
+CROSS JOIN bounds bd
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+ORACLE_PERPLEXITY_BUCKETS = oracle_perplexity_buckets()
 
 
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_search": bm25_search,
     "bigram_lm_quality": bigram_lm_quality,
+    "perplexity_buckets": perplexity_buckets,
 }
 
 ORACLES = {
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "bm25_search": _oracle_bm25(),
     "bigram_lm_quality": ORACLE_BIGRAM_LM_QUALITY,
+    "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
 }

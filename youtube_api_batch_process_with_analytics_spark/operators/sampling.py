@@ -459,12 +459,154 @@ ORDER BY source
 """
 
 
+DSIR_SALT = "dsir42:"
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance_weights(
+    spark: SparkSession,
+    sf_dir: str,
+    n_hash_buckets: int = DSIR_BUCKETS,
+    target_lang: str = DSIR_TARGET_LANG,
+) -> DataFrame:
+    """Data Selection via Importance Resampling over hashed unigram
+    features (Xie et al. 2023, DSIR): fit a 'raw' feature distribution on
+    the whole corpus and a 'target' distribution on the target domain
+    (here: ``lang = 'en'`` documents), then weight every document by how
+    target-like its features are. Downstream, ``stratified_sample``-style
+    machinery resamples proportionally to the weight.
+
+    Transcendental-free analog of DSIR's log-likelihood ratio, same
+    policy as ``bigram_lm_quality``'s mean-of-probs: per hash bucket the
+    Laplace-smoothed probability ratio in ppm,
+
+        ratio_ppm(b) = round(1e6 · (ct_b+1)(Nr+B) / ((cr_b+1)(Nt+B))),
+
+    a BIGINT; the per-document weight is the count-weighted integer MEAN
+    of its buckets' ratios (``SUM(cnt·ratio) DIV SUM(cnt)``) — every
+    comparison and aggregate after the one rounding is integer-exact, so
+    the ordering is deterministic across engines and partitionings
+    (DSIR's sum-of-logs ordering differs, but monotone dominance in the
+    common case is preserved; the smoothing exactly mirrors the paper).
+
+    Scale shape: tokenize+hash is map-side (md5→conv, the repo-wide
+    cross-engine hash); the (doc, bucket) aggregate is ONE corpus shuffle
+    with map-side partials onto at most n_docs·B rows; the bucket stats
+    table is ≤ B = 1024 rows — broadcast, fitted in the same
+    pass shape as tfidf's df; the final per-doc rollup is the second and
+    last corpus shuffle. Nothing is vocabulary- or pair-expanded. Docs
+    with zero tokens have no features and are absent (same contract as
+    the bigram LM's <2-token exclusion).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    from .ranking import _tokens
+
+    bucket = (
+        F.conv(
+            F.substring(_hash_key(DSIR_SALT, F.col("term")), 1, 8), 16, 10
+        ).cast("long")
+        % n_hash_buckets
+    )
+    feats = docs.select(
+        "doc_id", "lang", F.explode(_tokens()).alias("term")
+    ).select("doc_id", "lang", bucket.alias("bucket"))
+    doc_bucket = feats.groupBy("doc_id", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    stats = feats.groupBy("bucket").agg(
+        F.count("*").alias("cr"),
+        F.count(F.when(F.col("lang") == target_lang, 1)).alias("ct"),
+    )
+    totals = stats.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    b = float(n_hash_buckets)
+    ratios = (
+        stats.join(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                (F.col("ct") + F.lit(1.0))
+                * (F.col("nr") + F.lit(b))
+                * F.lit(1000000.0)
+                / ((F.col("cr") + F.lit(1.0)) * (F.col("nt") + F.lit(b)))
+            )
+            .cast("long")
+            .alias("ratio_ppm"),
+        )
+    )
+    return (
+        doc_bucket.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("ratio_ppm")).alias("_w"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("_w DIV n_tokens").alias("avg_ratio_ppm"),
+        )
+    )
+
+
+def oracle_dsir_importance_weights(
+    n_hash_buckets: int = DSIR_BUCKETS, target_lang: str = DSIR_TARGET_LANG
+) -> str:
+    from .ranking import TOKEN_SPLIT_RE
+
+    hex_int = _oracle_hex_int(
+        f"substr(md5('{DSIR_SALT}' || term), 1, 8)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '{TOKEN_SPLIT_RE}'),
+           t -> t <> '')) AS term
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, lang, {hex_int} % {n_hash_buckets} AS bucket FROM toks
+),
+doc_bucket AS (
+  SELECT doc_id, bucket, COUNT(*) AS cnt FROM feats GROUP BY 1, 2
+),
+stats AS (
+  SELECT bucket, COUNT(*) AS cr,
+         COUNT(CASE WHEN lang = '{target_lang}' THEN 1 END) AS ct
+  FROM feats GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt
+  FROM stats
+),
+ratios AS (
+  SELECT bucket,
+         CAST(ROUND((ct + 1.0) * (nr + {float(n_hash_buckets)}) * 1000000.0
+                    / ((cr + 1.0) * (nt + {float(n_hash_buckets)})))
+              AS BIGINT) AS ratio_ppm
+  FROM stats, tot
+)
+SELECT db.doc_id,
+       CAST(SUM(db.cnt) AS BIGINT) AS n_tokens,
+       CAST(SUM(db.cnt * r.ratio_ppm) // SUM(db.cnt) AS BIGINT)
+         AS avg_ratio_ppm
+FROM doc_bucket db JOIN ratios r USING (bucket)
+GROUP BY db.doc_id
+ORDER BY db.doc_id
+"""
+
+
+ORACLE_DSIR_IMPORTANCE_WEIGHTS = oracle_dsir_importance_weights()
+
+
 QUERIES = {
     "corpus_sample_hash": sample_corpus_hash,
     "stratified_sample": stratified_sample,
     "mixture_temperature_sample": mixture_temperature_sample,
     "global_shuffle_shards": global_shuffle_shards,
     "token_budget_allocation": token_budget_allocation,
+    "dsir_importance_weights": dsir_importance_weights,
 }
 
 ORACLES = {
@@ -473,4 +615,5 @@ ORACLES = {
     "mixture_temperature_sample": ORACLE_MIXTURE_TEMPERATURE_SAMPLE,
     "global_shuffle_shards": ORACLE_GLOBAL_SHUFFLE_SHARDS,
     "token_budget_allocation": ORACLE_TOKEN_BUDGET_ALLOCATION,
+    "dsir_importance_weights": ORACLE_DSIR_IMPORTANCE_WEIGHTS,
 }
