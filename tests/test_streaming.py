@@ -479,3 +479,148 @@ def test_rate_limit_pacer_stream_hostile_rows(spark, tmp_path):
         (None, 13): (2_000_000, 2_000_000),  # NULL key is a real group
         (7, None): (3_000_000, 3_000_000),  # NULL event_id tolerated
     }, sorted(got.items(), key=lambda kv: str(kv))
+
+
+def test_quota_latch_checkpoint_recovery(spark, tmp_path):
+    """Exactly-once recovery of the Python state-store path: stop the
+    latch query after run 1, deliver more events, restart from the SAME
+    checkpoint — per-key GroupState (counts AND the monotone latch input)
+    must be restored, so run 2 emits CUMULATIVE totals and the latch
+    flips only on the cross-restart cumulative count. A fresh-state
+    restart would emit 2 requests for user 1 and never latch."""
+    import pandas as pd
+
+    from youtube_api_batch_process_with_analytics_spark.streaming.state import (
+        quota_latch_stream,
+    )
+
+    src = tmp_path / "latch_events"
+    src.mkdir()
+    cp = str(tmp_path / "latch_cp")
+
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["user_id", "event_type"]).to_parquet(
+            src / name, index=False
+        )
+
+    def run(sink_rows):
+        stream = spark.readStream.schema(
+            "user_id long, event_type string"
+        ).parquet(str(src))
+
+        def sink(df, _epoch):
+            sink_rows.extend(tuple(r) for r in df.collect())
+
+        q = (
+            quota_latch_stream(stream, quota=4)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    # run 1: u1 under quota (3 < 4), u2 untouched afterwards
+    write("f0.parquet", [(1, "view"), (1, "error"), (1, "view"), (2, "view")])
+    got1: list = []
+    run(got1)
+    assert (1, 3, 1, False) in got1 and (2, 1, 0, False) in got1
+
+    # run 2, same checkpoint: 2 more u1 events + a new user
+    write("f1.parquet", [(1, "view"), (1, "view"), (3, "view")])
+    got2: list = []
+    run(got2)
+    by_key = {r[0]: r for r in got2}
+    # cumulative 3+2=5 requests, restored failure count, latch crossed
+    assert by_key[1] == (1, 5, 1, True)
+    assert by_key[3] == (3, 1, 0, False)
+    # no replay of run-1 offsets: u2 got no new events, so no row
+    assert 2 not in by_key
+
+
+def test_sessionization_checkpoint_recovery_watermark_restored(
+    spark, tmp_path
+):
+    """Restarting the sessionization stream from its checkpoint must
+    restore BOTH source offsets (committed files are not reprocessed —
+    no duplicate session rows in the file sink) and the event-time
+    watermark (a late event arriving after the restart is still dropped
+    against the PRE-restart frontier). Final emitted set must equal the
+    single-run result pinned by test_sessionization_multibatch_out_of_order."""
+    import os
+    import time
+    from datetime import datetime
+
+    import pandas as pd
+
+    from youtube_api_batch_process_with_analytics_spark.streaming import (
+        user_sessions_stream,
+    )
+
+    src = tmp_path / "cr_events"
+    src.mkdir()
+    cp = str(tmp_path / "cr_cp")
+    out = str(tmp_path / "cr_out")
+
+    def jan(day, hour, minute=0):
+        return datetime(2020, 1, day, hour, minute)
+
+    def write(i, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(src / f"f{i}.parquet", index=False)
+        mt = time.time() - 100 + i * 10
+        os.utime(src / f"f{i}.parquet", (mt, mt))
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts timestamp, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            user_sessions_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        dropped = sum(
+            so["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            for so in p["stateOperators"]
+        )
+        q.stop()
+        return dropped
+
+    # run 1: same first three batches as the single-run pin
+    write(0, [(1, jan(1, 0), "view"), (1, jan(1, 1), "view"), (2, jan(1, 5), "error")])
+    write(1, [(1, jan(1, 4, 30), "view")])  # late but in-bound -> merges
+    write(2, [(3, jan(5, 0), "view")])  # frontier jumps to Jan 4 23:00
+    assert run() == 0
+
+    # run 2 from the same checkpoint: E advances the watermark further,
+    # then D (Jan 1 06:00) is behind even the restored pre-restart
+    # frontier -> must be dropped, which proves the watermark survived
+    write(3, [(5, jan(10, 0), "view")])
+    write(4, [(4, jan(1, 6), "view")])
+    assert run() == 1
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.n_errors)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (1, jan(1, 0), jan(1, 16, 30), 3, 0),
+        (2, jan(1, 5), jan(1, 17), 1, 1),
+        (3, jan(5, 0), jan(5, 12), 1, 0),
+    }, sorted(got)
+    # exactly-once: no duplicate emission across the restart
+    assert spark.read.parquet(out).count() == 3
