@@ -129,6 +129,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #     replica; the shingle posting-list family stays head-gated by
 #     benchmark_contamination (promoted head) + dedup_connected_
 #     components (promoted head, same pair-graph machinery).
+# A sixth late addition, cluster_balanced_sample (embedding-space
+# diversity sampling: exact per-cluster quotas over the memoized Lloyd
+# fit, stratified_sample's salted two-stage top-k with learned strata),
+# enters the head for its first driver row; one more r5-hash-green
+# keeper demotes to hold the head at 50:
+#   curation_pipeline_v2 → its r5 row is current (this round's LM-stats
+#     memoization left all three tier hashes unchanged, attested in
+#     GATECHECK_r06, the same basis as bigram_lm_quality's demotion);
+#     every composed stage stays head-gated: component scores via
+#     doc_text_stats + doc_repetition_stats (promoted head), the LM leg
+#     via perplexity_buckets (new head, identical fitted stats), the
+#     dedup survivorship via dedup_connected_components +
+#     benchmark_contamination (promoted head).
 # The 37 demoted queries below are ALL hash-green in CORRECTNESS_r05.json
 # (this round's GATECHECK_r06.txt replica re-attests them at three tiers),
 # and each leaves its family covered in the head:
@@ -341,6 +354,7 @@ _GATE_TAIL = [
     "json_props_metrics",
     "bigram_lm_quality",
     "ngram_jaccard_pairs",
+    "curation_pipeline_v2",
 ]
 
 

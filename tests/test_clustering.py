@@ -292,3 +292,30 @@ def test_semantic_dedup_matches_numpy_reference(spark, sf_dir):
                     break  # members sorted -> first hit IS the min id
             want[vid] = (cell, dup_of, dup_of != -1)
     assert got == want
+
+
+def test_cluster_balanced_sample_invariants(spark, sf_dir):
+    """Exactly min(per_cluster, n_c) rows per cell; selected rows carry
+    the SAME cluster assignment as the gated kmeans_cells query (shared
+    fitted model); ranks are contiguous from 1; the draw is the md5
+    order (smallest-hash prefix property, like corpus_sample_hash)."""
+    from collections import Counter
+
+    from youtube_api_batch_process_with_analytics_spark.operators import (
+        clustering as C,
+    )
+
+    per = 5
+    rows = C.cluster_balanced_sample(spark, sf_dir, per_cluster=per).collect()
+    cells = {
+        r.vec_id: r.cluster
+        for r in C.kmeans_cells_query(spark, sf_dir).collect()
+    }
+    sizes = Counter(cells.values())
+    got_sizes = Counter(r.cluster for r in rows)
+    assert got_sizes == {c: min(per, n) for c, n in sizes.items()}
+    for r in rows:
+        assert cells[r.vec_id] == r.cluster
+    ranks = sorted((r.cluster, r.sample_rank) for r in rows)
+    for c, n in got_sizes.items():
+        assert [x[1] for x in ranks if x[0] == c] == list(range(1, n + 1))

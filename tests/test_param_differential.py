@@ -377,3 +377,25 @@ def test_dsir_importance_weights_params(
             n_hash_buckets=n_hash_buckets, target_lang=target_lang
         ),
     )
+
+
+@pytest.mark.parametrize(
+    "per_cluster,k",
+    [
+        (1, 8),  # medoid-like: single representative per cell
+        (5, 4),
+        (10_000, 8),  # quota above every cell size -> full corpus back
+    ],
+)
+def test_cluster_balanced_sample_params(spark, sf_dir, duck, per_cluster, k):
+    """Cluster-balanced sampling as a FUNCTION of (quota, cell count),
+    including the degenerate everything-selected corner."""
+    from youtube_api_batch_process_with_analytics_spark.operators import (
+        clustering as C,
+    )
+
+    _check(
+        C.cluster_balanced_sample(spark, sf_dir, per_cluster=per_cluster, k=k),
+        duck,
+        C.oracle_cluster_balanced_sample(per_cluster=per_cluster, k=k),
+    )

@@ -935,12 +935,105 @@ ORDER BY v.vec_id"""
     return "".join(parts)
 
 
+CB_SALT = "cb42:"
+CB_PER_CLUSTER = 30
+CB_SALT_BUCKETS = 16
+
+
+def cluster_balanced_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    per_cluster: int = CB_PER_CLUSTER,
+    k: int = KMEANS_GATE_K,
+    n_iter: int = KMEANS_GATE_ITERS,
+) -> DataFrame:
+    """Cluster-balanced subset selection: exactly ``min(per_cluster, n_c)``
+    vectors from every learned k-means cell, by smallest md5 draw — the
+    embedding-space diversity sampler curation pipelines run after
+    clustering (equal representation per semantic region instead of
+    duplicating the raw density; the cluster-quota counterpart of
+    ``mixture_temperature_sample``'s language rebalancing).
+
+    Composes the session-memoized integer-exact Lloyd fit (same fitted
+    model as ``kmeans_cells``/``ann_ivf_kmeans``/``semantic_dedup``), so
+    the marginal cost is one map-side assignment plus the two-stage
+    top-k. Scale shape is ``stratified_sample``'s: stage 1 ranks within
+    ``(cluster, vec_id % 16)`` salt cells, stage 2 ranks the surviving
+    ≤ 16·per_cluster rows per cluster — no task ever holds a full
+    cluster, so a hot cell cannot straggle the stage.
+    """
+    assigned, _ = _gate_kmeans(spark, sf_dir, k=k, n_iter=n_iter)
+    drawn = assigned.select(
+        "vec_id",
+        "cluster",
+        F.md5(
+            F.concat(F.lit(CB_SALT), F.col("vec_id").cast("string"))
+        ).alias("draw_key"),
+        F.pmod(F.col("vec_id"), F.lit(CB_SALT_BUCKETS)).alias("_salt"),
+    )
+    order = [F.col("draw_key").asc(), F.col("vec_id").asc()]
+    stage1 = drawn.withColumn(
+        "_r1",
+        F.row_number().over(
+            Window.partitionBy("cluster", "_salt").orderBy(*order)
+        ),
+    ).filter(F.col("_r1") <= per_cluster)
+    final = Window.partitionBy("cluster").orderBy(*order)
+    return (
+        stage1.withColumn("sample_rank", F.row_number().over(final))
+        .filter(F.col("sample_rank") <= per_cluster)
+        .select("vec_id", "cluster", "draw_key", "sample_rank")
+    )
+
+
+def oracle_cluster_balanced_sample(
+    per_cluster: int = CB_PER_CLUSTER,
+    k: int = KMEANS_GATE_K,
+    n_iter: int = KMEANS_GATE_ITERS,
+    scale: int = QUANT_SCALE,
+) -> str:
+    parts = [
+        f"""WITH emb AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qvec
+  FROM embeddings WHERE {_EMB_VALID}
+),
+qx AS (
+  SELECT vec_id, generate_subscripts(qvec, 1) AS pos, unnest(qvec) AS x
+  FROM emb
+),
+a0 AS (SELECT vec_id, CAST(vec_id % {k} AS INTEGER) AS cluster FROM emb)"""
+    ]
+    for r in range(1, n_iter + 1):
+        parts.append(_oracle_round(r))
+    parts.append(
+        f""",
+drawn AS (
+  SELECT vec_id, cluster,
+         md5('{CB_SALT}' || CAST(vec_id AS VARCHAR)) AS draw_key
+  FROM a{n_iter}
+),
+ranked AS (
+  SELECT vec_id, cluster, draw_key,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster ORDER BY draw_key, vec_id) AS sample_rank
+  FROM drawn
+)
+SELECT vec_id, cluster, draw_key, sample_rank
+FROM ranked WHERE sample_rank <= {per_cluster}
+ORDER BY cluster, sample_rank"""
+    )
+    return "".join(parts)
+
+
 QUERIES = {
     "kmeans_cells": kmeans_cells_query,
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "pq_codes": pq_codes_query,
     "pq_adc_topk": pq_adc_topk,
     "semantic_dedup": semantic_dedup,
+    "cluster_balanced_sample": cluster_balanced_sample,
 }
 
 ORACLES = {
@@ -949,4 +1042,5 @@ ORACLES = {
     "pq_codes": oracle_pq_codes(),
     "pq_adc_topk": oracle_pq_adc_topk(),
     "semantic_dedup": oracle_semantic_dedup(),
+    "cluster_balanced_sample": oracle_cluster_balanced_sample(),
 }
