@@ -352,6 +352,9 @@ def test_value_hash_invariant_to_input_layout(spark, sf_dir, tmp_path):
         "duplicate_spans",          # posting lists + islands merge
         "ann_vectorized_bound",     # Arrow GEMM batches split differently
         "channel_video_metrics",    # flagship grouping-sets matrix
+        "perplexity_buckets",       # LM fit + bounded-histogram cumsum
+        "dsir_importance_weights",  # hashed-bucket stats + broadcast join
+        "cluster_balanced_sample",  # fitted cells + salted two-stage top-k
     ]
     qs = em.queries()
     for name in sample:
