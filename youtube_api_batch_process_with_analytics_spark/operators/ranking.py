@@ -478,10 +478,15 @@ def perplexity_buckets(
     lm = _bigram_lm_scores(
         spark, sf_dir, docs.select("doc_id", _tokens().alias("toks"))
     )
+    # lazily checkpoint the scored frame: the boundary computation is a
+    # broadcast whose subtree would otherwise RE-EXECUTE the whole LM
+    # scoring pipeline (its joins and aggregates) a second time per run —
+    # the same shared-subtree contract as the LM fit's occ checkpoint
+    # (and why this query sits in the registry's _PLAN_CACHE_SKIP)
     scored = lm.select(
         "doc_id",
         F.round(F.col("lm_score") * 1e6).cast("long").alias("score_micro"),
-    )
+    ).localCheckpoint(eager=False)
     hist = scored.groupBy("score_micro").agg(F.count("*").alias("cnt"))
     cum = hist.withColumn(
         "cum",
