@@ -539,17 +539,31 @@ def test_dsir_weights_match_pure_python_reference(spark, sf_dir):
         )
         for b in cr
     }
-    expected = {}
+    weights = {}
     for d, bc in doc_bucket.items():
         n = sum(bc.values())
         w = sum(c * ratio[b] for b, c in bc.items())
-        expected[d] = (n, w // n)
+        weights[d] = (n, w // n)
+    wmax = max(w for _, w in weights.values())
+    expected = {}
+    for d, (n, w) in weights.items():
+        draw = int(
+            hashlib.md5(
+                (S.DSIR_DRAW_SALT + str(d)).encode()
+            ).hexdigest()[:8],
+            16,
+        )
+        expected[d] = (n, w, draw * wmax < w * S._DRAW_SPACE)
 
     got = {
-        r["doc_id"]: (r["n_tokens"], r["avg_ratio_ppm"])
+        r["doc_id"]: (r["n_tokens"], r["avg_ratio_ppm"], r["selected"])
         for r in S.dsir_importance_weights(spark, sf_dir).collect()
     }
     assert got == expected
+    # the argmax-weight doc is always kept; selection is non-trivial
+    sel = [v[2] for v in got.values()]
+    assert any(sel)
+    assert all(v[2] for v in got.values() if v[1] == wmax)
 
 
 def test_perplexity_bucket_invariants(spark, sf_dir):

@@ -460,8 +460,10 @@ ORDER BY source
 
 
 DSIR_SALT = "dsir42:"
+DSIR_DRAW_SALT = "dsirdraw42:"
 DSIR_BUCKETS = 1024
 DSIR_TARGET_LANG = "en"
+_DRAW_SPACE = 4294967296  # 2^32: the md5-8-nibble draw space
 
 
 def dsir_importance_weights(
@@ -474,8 +476,11 @@ def dsir_importance_weights(
     features (Xie et al. 2023, DSIR): fit a 'raw' feature distribution on
     the whole corpus and a 'target' distribution on the target domain
     (here: ``lang = 'en'`` documents), then weight every document by how
-    target-like its features are. Downstream, ``stratified_sample``-style
-    machinery resamples proportionally to the weight.
+    target-like its features are, and RESAMPLE: each doc is kept with
+    probability ``weight / max_weight`` via a deterministic md5 draw
+    (the paper samples ∝ weight; this is the same acceptance law with
+    the normalizer replaced by the exact maximum, keeping every
+    quantity integer).
 
     Transcendental-free analog of DSIR's log-likelihood ratio, same
     policy as ``bigram_lm_quality``'s mean-of-probs: per hash bucket the
@@ -534,7 +539,7 @@ def dsir_importance_weights(
             .alias("ratio_ppm"),
         )
     )
-    return (
+    weights = (
         doc_bucket.join(F.broadcast(ratios), "bucket")
         .groupBy("doc_id")
         .agg(
@@ -545,6 +550,30 @@ def dsir_importance_weights(
             "doc_id",
             "n_tokens",
             F.expr("_w DIV n_tokens").alias("avg_ratio_ppm"),
+        )
+    )
+    # The RESAMPLING step that gives DSIR its name: accept each doc with
+    # probability weight/max_weight via a deterministic md5 draw —
+    # integer-exact (decimal products, never a float division), so the
+    # accept/reject boundary is bit-identical across engines. Expected
+    # sample rate = mean(w)/max(w); the top-weighted docs are certain.
+    wmax = weights.agg(F.max("avg_ratio_ppm").alias("wmax"))
+    draw = F.conv(
+        F.substring(_hash_key(DSIR_DRAW_SALT, F.col("doc_id")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        weights.join(F.broadcast(wmax))
+        .withColumn("_draw", draw)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_ratio_ppm",
+            (
+                F.col("_draw").cast("decimal(20,0)")
+                * F.col("wmax").cast("decimal(20,0)")
+                < F.col("avg_ratio_ppm").cast("decimal(20,0)")
+                * F.lit(_DRAW_SPACE).cast("decimal(20,0)")
+            ).alias("selected"),
         )
     )
 
@@ -587,13 +616,22 @@ ratios AS (
               AS BIGINT) AS ratio_ppm
   FROM stats, tot
 )
-SELECT db.doc_id,
-       CAST(SUM(db.cnt) AS BIGINT) AS n_tokens,
-       CAST(SUM(db.cnt * r.ratio_ppm) // SUM(db.cnt) AS BIGINT)
-         AS avg_ratio_ppm
-FROM doc_bucket db JOIN ratios r USING (bucket)
-GROUP BY db.doc_id
-ORDER BY db.doc_id
+,
+weights AS (
+  SELECT db.doc_id,
+         CAST(SUM(db.cnt) AS BIGINT) AS n_tokens,
+         CAST(SUM(db.cnt * r.ratio_ppm) // SUM(db.cnt) AS BIGINT)
+           AS avg_ratio_ppm
+  FROM doc_bucket db JOIN ratios r USING (bucket)
+  GROUP BY db.doc_id
+),
+wm AS (SELECT MAX(avg_ratio_ppm) AS wmax FROM weights)
+SELECT doc_id, n_tokens, avg_ratio_ppm,
+       CAST({_oracle_hex_int(f"substr(md5('{DSIR_DRAW_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)")} AS HUGEINT)
+         * wmax
+       < CAST(avg_ratio_ppm AS HUGEINT) * {_DRAW_SPACE} AS selected
+FROM weights, wm
+ORDER BY doc_id
 """
 
 
