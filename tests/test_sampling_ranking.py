@@ -616,3 +616,97 @@ def test_perplexity_bucket_invariants(spark, sf_dir):
         < 2
     ).count()
     assert agg.get("unscored", {"n": 0})["n"] == n_short
+
+
+def test_new_ops_random_corpus_differential(spark, tmp_path):
+    """Seeded-random corpus differential for the round-6 operators:
+    beyond the fixed hostile classes, a deterministic RNG draws 300
+    documents with adversarial shapes (empty/NULL/whitespace text,
+    single-token docs, heavy token repetition, punctuation-boundary
+    soup, NULL langs) and 300 embeddings including invalid rows
+    (NULL / wrong-dim / all-zero vectors) — then perplexity_buckets,
+    dsir_importance_weights, and cluster_balanced_sample must
+    hash-match their DuckDB twins on that corpus."""
+    import random
+
+    import duckdb
+
+    from tests.oracle_utils import assert_oracle_match
+    from youtube_api_batch_process_with_analytics_spark.operators import (
+        clustering as C,
+    )
+    from youtube_api_batch_process_with_analytics_spark.operators import (
+        ranking as R,
+    )
+    from youtube_api_batch_process_with_analytics_spark.operators import (
+        sampling as S,
+    )
+
+    rng = random.Random(20260815)
+    vocab = (
+        ["spark", "hash", "the", "a", "data", "x1", "42", "join"]
+        + [f"w{i}" for i in range(40)]
+    )
+    seps = [" ", "  ", "-", ", ", ".", "\t"]
+    langs = ["en", "de", "zh", None]
+
+    docs = []
+    for i in range(300):
+        shape = rng.random()
+        if shape < 0.05:
+            text = None
+        elif shape < 0.10:
+            text = rng.choice(["", "   ", "...", "- -"])
+        elif shape < 0.20:
+            text = rng.choice(vocab)  # single token -> unscored by the LM
+        elif shape < 0.30:
+            text = (" " + rng.choice(vocab)) * rng.randint(2, 40)  # repetition
+        else:
+            n = rng.randint(2, 50)
+            text = "".join(
+                rng.choice(vocab) + rng.choice(seps) for _ in range(n)
+            )
+        docs.append(
+            (i, text, rng.choice(langs), f"src{rng.randint(1, 5)}",
+             len(text) if text else 0)
+        )
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    dim = 64
+    embs = []
+    for i in range(300):
+        shape = rng.random()
+        if shape < 0.04:
+            vec = None
+        elif shape < 0.08:
+            vec = [0.0] * dim  # zero vector -> dropped by valid_embeddings
+        elif shape < 0.12:
+            vec = [round(rng.uniform(-1, 1), 3)] * 7  # wrong dimension
+        else:
+            vec = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+        embs.append((i, vec, rng.randint(0, 7)))
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet/*.parquet'"
+        )
+    sf = str(tmp_path)
+    assert_oracle_match(
+        R.perplexity_buckets(spark, sf), con, R.ORACLE_PERPLEXITY_BUCKETS
+    )
+    assert_oracle_match(
+        S.dsir_importance_weights(spark, sf),
+        con,
+        S.ORACLE_DSIR_IMPORTANCE_WEIGHTS,
+    )
+    assert_oracle_match(
+        C.cluster_balanced_sample(spark, sf),
+        con,
+        C.oracle_cluster_balanced_sample(),
+    )
