@@ -710,3 +710,45 @@ def test_new_ops_random_corpus_differential(spark, tmp_path):
         con,
         C.oracle_cluster_balanced_sample(),
     )
+
+
+def test_dsir_accept_expression_exact_at_extreme_weights(spark, duck):
+    """The resampling accept/reject comparison must stay EXACT when the
+    BIGINT product draw·wmax or weight·2^32 would overflow int64 (weights
+    can reach ~1e17 ppm when the target domain is vanishingly rare at
+    100 TB scale): Spark decimal(20,0) products vs DuckDB HUGEINT
+    products must agree row-for-row, including the exact-boundary case
+    draw·wmax == weight·2^32 (strict <, so NOT selected)."""
+    rows = [
+        # (draw, w, wmax) — draw in [0, 2^32)
+        (0, 10**17, 10**17),              # smallest draw, huge equal weights
+        (2**32 - 1, 10**17, 10**17),      # largest draw: 2^32-1 < 2^32 -> kept
+        (2**31, 2**31, 2**32),            # exact boundary: equal -> NOT kept
+        (2**31 - 1, 2**31, 2**32),        # one below boundary -> kept
+        (123456789, 987654321987654321, 999999999999999999),
+        (4294967295, 1, 10**17),          # tiny weight vs max draw -> dropped
+    ]
+    sdf = spark.createDataFrame(rows, "draw long, w long, wmax long")
+    got = [
+        tuple(r)
+        for r in sdf.select(
+            "draw",
+            "w",
+            "wmax",
+            (
+                F.col("draw").cast("decimal(20,0)")
+                * F.col("wmax").cast("decimal(20,0)")
+                < F.col("w").cast("decimal(20,0)")
+                * F.lit(4294967296).cast("decimal(20,0)")
+            ).alias("selected"),
+        ).collect()
+    ]
+    want = [
+        (d, w, m, d * m < w * 4294967296) for d, w, m in rows
+    ]
+    assert sorted(got) == sorted(want)
+    for d, w, m, sel in want:
+        dd = duck.execute(
+            f"SELECT CAST({d} AS HUGEINT) * {m} < CAST({w} AS HUGEINT) * 4294967296"
+        ).fetchone()[0]
+        assert dd == sel, (d, w, m)
