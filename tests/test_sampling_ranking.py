@@ -584,7 +584,9 @@ def test_perplexity_bucket_invariants(spark, sf_dir):
     for r in rows:
         a = agg.setdefault(r.bucket, {"n": 0, "mn": None, "mx": None})
         a["n"] += r.n_docs
-        if r.min_score_micro is not None:
+        # 'unscored' rows carry sentinel 0 aggregates (coalesced so the
+        # output columns stay non-nullable) — exclude them from ranges
+        if r.bucket != "unscored":
             a["mn"] = (
                 r.min_score_micro
                 if a["mn"] is None
@@ -752,3 +754,40 @@ def test_dsir_accept_expression_exact_at_extreme_weights(spark, duck):
             f"SELECT CAST({d} AS HUGEINT) * {m} < CAST({w} AS HUGEINT) * 4294967296"
         ).fetchone()[0]
         assert dd == sel, (d, w, m)
+
+
+def test_dsir_weight_rollup_exact_beyond_int64(spark, duck):
+    """The per-doc weight accumulator must stay exact where int64
+    Σ cnt·ratio overflows: decimal products on Spark vs HUGEINT on
+    DuckDB, identical means. doc 1's products sum to ~2.4e19 (> 2^63)."""
+    from youtube_api_batch_process_with_analytics_spark.operators.sampling import (
+        _dsir_weight_rollup,
+    )
+
+    rows = [
+        (1, 120, 10**17),   # 1.2e19 alone — would wrap an int64 sum
+        (1, 120, 10**17),
+        (1, 3, 5),
+        (2, 7, 10**6),      # ordinary magnitude: must equal the int64 path
+    ]
+    joined = spark.createDataFrame(
+        rows, "doc_id long, cnt long, ratio_ppm long"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_ratio_ppm)
+        for r in _dsir_weight_rollup(joined).collect()
+    }
+    want = {}
+    for d in {r[0] for r in rows}:
+        n = sum(c for dd, c, _ in rows if dd == d)
+        w = sum(c * p for dd, c, p in rows if dd == d)
+        want[d] = (n, w // n)
+    assert got == want
+    for d, (n, avg) in want.items():
+        dd = duck.execute(
+            f"""SELECT CAST(SUM(CAST(cnt AS HUGEINT) * ratio_ppm) / 1 AS HUGEINT)
+                       // SUM(cnt)
+                FROM (VALUES {", ".join(f"({r[0]},{r[1]},{r[2]})" for r in rows if r[0] == d)})
+                     t(doc_id, cnt, ratio_ppm)"""
+        ).fetchone()[0]
+        assert int(dd) == avg

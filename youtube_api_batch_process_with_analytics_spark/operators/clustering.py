@@ -962,6 +962,8 @@ def cluster_balanced_sample(
     ≤ 16·per_cluster rows per cluster — no task ever holds a full
     cluster, so a hot cell cannot straggle the stage.
     """
+    from .sampling import salted_two_stage_topk
+
     assigned, _ = _gate_kmeans(spark, sf_dir, k=k, n_iter=n_iter)
     drawn = assigned.select(
         "vec_id",
@@ -969,21 +971,15 @@ def cluster_balanced_sample(
         F.md5(
             F.concat(F.lit(CB_SALT), F.col("vec_id").cast("string"))
         ).alias("draw_key"),
-        F.pmod(F.col("vec_id"), F.lit(CB_SALT_BUCKETS)).alias("_salt"),
     )
-    order = [F.col("draw_key").asc(), F.col("vec_id").asc()]
-    stage1 = drawn.withColumn(
-        "_r1",
-        F.row_number().over(
-            Window.partitionBy("cluster", "_salt").orderBy(*order)
-        ),
-    ).filter(F.col("_r1") <= per_cluster)
-    final = Window.partitionBy("cluster").orderBy(*order)
-    return (
-        stage1.withColumn("sample_rank", F.row_number().over(final))
-        .filter(F.col("sample_rank") <= per_cluster)
-        .select("vec_id", "cluster", "draw_key", "sample_rank")
-    )
+    return salted_two_stage_topk(
+        drawn,
+        ["cluster"],
+        F.lit(per_cluster),
+        [F.col("draw_key").asc(), F.col("vec_id").asc()],
+        salt_on=F.col("vec_id"),
+        n_salts=CB_SALT_BUCKETS,
+    ).select("vec_id", "cluster", "draw_key", "sample_rank")
 
 
 def oracle_cluster_balanced_sample(

@@ -474,6 +474,8 @@ def perplexity_buckets(
     language frequency rollup (``youtube_api_handler.py:1119-1122``);
     this generalizes it to corpus-statistics-driven partitioning.
     """
+    if n_buckets < 2:
+        raise ValueError("perplexity_buckets needs at least 2 buckets")
     docs = spread(load_table(spark, sf_dir, "documents"))
     lm = _bigram_lm_scores(
         spark, sf_dir, docs.select("doc_id", _tokens().alias("toks"))
@@ -544,6 +546,8 @@ def perplexity_buckets(
 
 
 def oracle_perplexity_buckets(n_buckets: int = PPL_N_BUCKETS) -> str:
+    if n_buckets < 2:
+        raise ValueError("perplexity_buckets needs at least 2 buckets")
     labels = _ppl_labels(n_buckets)
     bound_cols = ", ".join(
         f"MIN(CASE WHEN cum >= ({i} * n + {n_buckets - 1}) // {n_buckets} "

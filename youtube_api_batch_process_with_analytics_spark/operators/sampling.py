@@ -48,6 +48,39 @@ def _hash_key(salt: str, key):
     return F.md5(F.concat(F.lit(salt), key.cast("string")))
 
 
+def salted_two_stage_topk(
+    df: DataFrame,
+    part_cols: list[str],
+    quota_col,
+    order_cols: list,
+    salt_on,
+    n_salts: int = STRAT_SALT_BUCKETS,
+    rank_name: str = "sample_rank",
+) -> DataFrame:
+    """Exact per-partition top-k where no task ever holds a full
+    partition: stage 1 ranks within ``(part_cols, salt)`` cells (each at
+    most quota survivors), stage 2 ranks the surviving ≤ n_salts·quota
+    rows per partition. Provably equal to the single-window rank because
+    the global per-partition top-k is a subset of the union of per-cell
+    top-ks under the same total order. Shared by ``stratified_sample``
+    (strata = languages, per-stratum quota column) and
+    ``clustering.cluster_balanced_sample`` (strata = learned cells,
+    constant quota)."""
+    drawn = df.withColumn("_salt", F.pmod(salt_on, F.lit(n_salts)))
+    stage1 = drawn.withColumn(
+        "_r1",
+        F.row_number().over(
+            Window.partitionBy(*part_cols, "_salt").orderBy(*order_cols)
+        ),
+    ).filter(F.col("_r1") <= quota_col)
+    final = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    return (
+        stage1.withColumn(rank_name, F.row_number().over(final))
+        .filter(F.col(rank_name) <= quota_col)
+        .drop("_salt", "_r1")
+    )
+
+
 def sample_corpus_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~25% Bernoulli sample of ``documents``.
 
@@ -94,20 +127,14 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         _hash_key(STRAT_SALT, F.col("doc_id")).alias("strat_key"),
-        F.pmod(F.col("doc_id"), F.lit(STRAT_SALT_BUCKETS)).alias("_salt"),
     ).join(F.broadcast(counts), "lang")
-
-    order = [F.col("strat_key").asc(), F.col("doc_id").asc()]
-    partial = Window.partitionBy("lang", "_salt").orderBy(*order)
-    stage1 = drawn.withColumn("_r1", F.row_number().over(partial)).filter(
-        F.col("_r1") <= F.col("strat_k")
-    )
-    final = Window.partitionBy("lang").orderBy(*order)
-    return (
-        stage1.withColumn("sample_rank", F.row_number().over(final))
-        .filter(F.col("sample_rank") <= F.col("strat_k"))
-        .select("doc_id", "lang", "strat_key", "sample_rank")
-    )
+    return salted_two_stage_topk(
+        drawn,
+        ["lang"],
+        F.col("strat_k"),
+        [F.col("strat_key").asc(), F.col("doc_id").asc()],
+        salt_on=F.col("doc_id"),
+    ).select("doc_id", "lang", "strat_key", "sample_rank")
 
 
 ORACLE_STRATIFIED_SAMPLE = f"""
@@ -516,12 +543,20 @@ def dsir_importance_weights(
     feats = docs.select(
         "doc_id", "lang", F.explode(_tokens()).alias("term")
     ).select("doc_id", "lang", bucket.alias("bucket"))
-    doc_bucket = feats.groupBy("doc_id", "bucket").agg(
+    # ONE corpus aggregation at (doc, bucket) grain; the bucket stats roll
+    # up FROM it (cr = Σ cnt, ct = Σ cnt over target-lang docs) — the same
+    # agg-of-agg idiom as ranking's cu-from-cb, so the tokenize + explode
+    # + md5 subtree runs once, not once per consumer
+    doc_bucket = feats.groupBy("doc_id", "lang", "bucket").agg(
         F.count("*").alias("cnt")
     )
-    stats = feats.groupBy("bucket").agg(
-        F.count("*").alias("cr"),
-        F.count(F.when(F.col("lang") == target_lang, 1)).alias("ct"),
+    stats = doc_bucket.groupBy("bucket").agg(
+        F.sum("cnt").alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        ).alias("ct"),
     )
     totals = stats.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
     b = float(n_hash_buckets)
@@ -539,18 +574,8 @@ def dsir_importance_weights(
             .alias("ratio_ppm"),
         )
     )
-    weights = (
+    weights = _dsir_weight_rollup(
         doc_bucket.join(F.broadcast(ratios), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_tokens"),
-            F.sum(F.col("cnt") * F.col("ratio_ppm")).alias("_w"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.expr("_w DIV n_tokens").alias("avg_ratio_ppm"),
-        )
     )
     # The RESAMPLING step that gives DSIR its name: accept each doc with
     # probability weight/max_weight via a deterministic md5 draw —
@@ -578,6 +603,35 @@ def dsir_importance_weights(
     )
 
 
+def _dsir_weight_rollup(joined: DataFrame) -> DataFrame:
+    """Per-doc weight mean over a ``(doc_id, cnt, ratio_ppm)`` frame.
+
+    Weight accumulation is exact decimals: at extreme target rarity
+    ``ratio_ppm`` reaches ~1e17, so an int64 Σ cnt·ratio would silently
+    wrap on Spark (ANSI off) while the DuckDB twin throws —
+    decimal(38,0) products/sums are exact to 1e38 on both engines (the
+    twin uses HUGEINT), bit-identical to the int64 path wherever that
+    path doesn't overflow. The ``DIV`` quotient itself is a long: exact
+    because the mean is bounded by max(ratio_ppm) ≈ 1e6·Nr/B, which
+    stays under 2^63 for corpora up to ~10^16 tokens (pinned with
+    beyond-int64 accumulators in tests/test_sampling_ranking.py)."""
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(
+                F.col("cnt").cast("decimal(19,0)")
+                * F.col("ratio_ppm").cast("decimal(19,0)")
+            ).alias("_w"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("_w DIV n_tokens").alias("avg_ratio_ppm"),
+        )
+    )
+
+
 def oracle_dsir_importance_weights(
     n_hash_buckets: int = DSIR_BUCKETS, target_lang: str = DSIR_TARGET_LANG
 ) -> str:
@@ -598,12 +652,13 @@ feats AS (
   SELECT doc_id, lang, {hex_int} % {n_hash_buckets} AS bucket FROM toks
 ),
 doc_bucket AS (
-  SELECT doc_id, bucket, COUNT(*) AS cnt FROM feats GROUP BY 1, 2
+  SELECT doc_id, lang, bucket, COUNT(*) AS cnt FROM feats GROUP BY 1, 2, 3
 ),
 stats AS (
-  SELECT bucket, COUNT(*) AS cr,
-         COUNT(CASE WHEN lang = '{target_lang}' THEN 1 END) AS ct
-  FROM feats GROUP BY 1
+  SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cr,
+         CAST(SUM(CASE WHEN lang = '{target_lang}' THEN cnt ELSE 0 END)
+              AS BIGINT) AS ct
+  FROM doc_bucket GROUP BY 1
 ),
 tot AS (
   SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt
@@ -620,8 +675,8 @@ ratios AS (
 weights AS (
   SELECT db.doc_id,
          CAST(SUM(db.cnt) AS BIGINT) AS n_tokens,
-         CAST(SUM(db.cnt * r.ratio_ppm) // SUM(db.cnt) AS BIGINT)
-           AS avg_ratio_ppm
+         CAST(SUM(CAST(db.cnt AS HUGEINT) * r.ratio_ppm) // SUM(db.cnt)
+              AS BIGINT) AS avg_ratio_ppm
   FROM doc_bucket db JOIN ratios r USING (bucket)
   GROUP BY db.doc_id
 ),
