@@ -386,6 +386,8 @@ _PLAN_CACHE_SKIP = {
     "curation_pipeline_v2",
     # embeds the LM fit's localCheckpoint when it is the first consumer
     "perplexity_buckets",
+    # embeds the weights checkpoint shared by the wmax broadcast
+    "dsir_importance_weights",
 }
 
 

@@ -211,7 +211,9 @@ def test_dsir_ratio_join_is_broadcast(spark, sf_dir):
         dsir_importance_weights,
     )
 
-    plan = _plan(dsir_importance_weights(spark, sf_dir))
+    # checkpoint=False exposes the full inner chain (the production plan
+    # hides it behind the shared-weights checkpoint)
+    plan = _plan(dsir_importance_weights(spark, sf_dir, checkpoint=False))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan

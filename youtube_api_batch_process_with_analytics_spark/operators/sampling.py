@@ -498,6 +498,7 @@ def dsir_importance_weights(
     sf_dir: str,
     n_hash_buckets: int = DSIR_BUCKETS,
     target_lang: str = DSIR_TARGET_LANG,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Data Selection via Importance Resampling over hashed unigram
     features (Xie et al. 2023, DSIR): fit a 'raw' feature distribution on
@@ -574,9 +575,17 @@ def dsir_importance_weights(
             .alias("ratio_ppm"),
         )
     )
+    # lazily checkpoint the weights: the max-weight normalizer below is a
+    # broadcast whose subtree would otherwise RE-EXECUTE the whole
+    # tokenize → doc-bucket → ratio-join → rollup chain a second time per
+    # run (the same shared-subtree contract as perplexity_buckets' scored
+    # checkpoint — and why this query sits in the registry's
+    # _PLAN_CACHE_SKIP)
     weights = _dsir_weight_rollup(
         doc_bucket.join(F.broadcast(ratios), "bucket")
     )
+    if checkpoint:  # False only for plan-shape tests of the inner chain
+        weights = weights.localCheckpoint(eager=False)
     # The RESAMPLING step that gives DSIR its name: accept each doc with
     # probability weight/max_weight via a deterministic md5 draw —
     # integer-exact (decimal products, never a float division), so the
