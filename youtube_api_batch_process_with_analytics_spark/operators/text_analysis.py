@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table, spread
+from .memo import session_frame
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 
@@ -583,7 +584,7 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional sums in one aggregation; the only corpus-order shuffle
     beyond the LM stats is the dedup fingerprint window.
     """
-    from .ranking import TOKEN_SPLIT_RE, _bigram_lm_scores
+    from .ranking import TOKEN_SPLIT_RE, lm_scores_frame
     from .sampling import SAMPLE_SALT, SAMPLE_THRESHOLD
 
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -595,26 +596,40 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE tokenized pass over the corpus, shared by the LM leg and the
     # mode-share/fingerprint leg (the LM stage previously re-read and
     # re-tokenized the whole corpus as a sub-pipeline — a duplicate scan
-    # plus spread exchange). Lazy localCheckpoint materializes it once.
-    toked = docs.select(
-        "doc_id",
-        "source",
-        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
-        F.substring(
-            F.md5(
-                F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))
-            ),
-            1,
-            8,
-        ).alias("bucket"),
-        toks.alias("toks"),
-    ).localCheckpoint(eager=False)
+    # plus spread exchange). Lazy localCheckpoint materializes it once
+    # per SESSION, not once per run: the tokenization is deterministic
+    # over the immutable corpus, so it is a fitted artifact under the
+    # memo contract (yt.operators.memo) like the LM stats it feeds.
+    toked = session_frame(
+        spark,
+        sf_dir,
+        "curation_toked",
+        lambda: docs.select(
+            "doc_id",
+            "source",
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(SAMPLE_SALT), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ).alias("bucket"),
+            toks.alias("toks"),
+        ),
+    )
     base = (
         # modal-token share is O(distinct·n) per doc; only sampled rows
         # can pass the quality conjunction, so skip the other 75%
         toked.withColumn("mode_share", F.when(sampled, _mode_token_share()))
         .join(
-            _bigram_lm_scores(
+            # the session-memoized score table (ranking.lm_scores_frame):
+            # the quality gate READS the fitted LM scores, it doesn't
+            # re-run the scorer per invocation; on a cold fit the builder
+            # reuses this query's tokenized checkpoint
+            lm_scores_frame(
                 spark, sf_dir, toked.select("doc_id", "toks")
             ).select("doc_id", "lm_score"),
             "doc_id",
