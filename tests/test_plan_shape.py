@@ -219,6 +219,26 @@ def test_dsir_ratio_join_is_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_dsir_corpus_pipeline_materialized_once(spark, sf_dir):
+    """Round-6 advice: DSIR's 'one corpus pass' previously held only via
+    AQE runtime exchange reuse — the static plan embedded the
+    tokenize→doc_bucket subtree six times, and with adaptive execution
+    off the corpus pipeline executed repeatedly. Now structural: the
+    featurization is a checkpoint (session-memoized), so the production
+    plan reaches the corpus ONLY through checkpoint leaves — zero parquet
+    scans, optimizer-independent."""
+    from youtube_api_batch_process_with_analytics_spark.operators import memo
+    from youtube_api_batch_process_with_analytics_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    memo.release_session_frames()
+    plan = _plan(dsir_importance_weights(spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan
+    memo.release_session_frames()
+
+
 def test_perplexity_buckets_histogram_bounded_window(spark, sf_dir):
     """CCNet buckets: the only window runs over the bounded score
     histogram (≤1e6+1 rows by construction), never the corpus — the

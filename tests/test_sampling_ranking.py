@@ -791,3 +791,30 @@ def test_dsir_weight_rollup_exact_beyond_int64(spark, duck):
                      t(doc_id, cnt, ratio_ppm)"""
         ).fetchone()[0]
         assert int(dd) == avg
+
+
+def test_salted_topk_rejects_colliding_columns(spark):
+    """Shared-infrastructure guard (round-6 advice): withColumn silently
+    replaces same-named columns, so a caller frame already carrying a
+    temp/rank name must fail loudly instead of ranking over corrupted
+    data."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from youtube_api_batch_process_with_analytics_spark.operators.sampling import (
+        salted_two_stage_topk,
+    )
+
+    base = spark.range(10).selectExpr("id", "id % 2 AS g")
+    for bad in ("_salt", "_r1", "sample_rank"):
+        df = base.withColumn(bad, F.lit(0))
+        with pytest.raises(ValueError, match=bad):
+            salted_two_stage_topk(
+                df, ["g"], F.lit(3), [F.col("id").asc()], F.col("id")
+            )
+    # a non-colliding rank_name on the same frame is fine
+    out = salted_two_stage_topk(
+        base, ["g"], F.lit(3), [F.col("id").asc()], F.col("id"),
+        rank_name="rk",
+    )
+    assert out.count() == 6

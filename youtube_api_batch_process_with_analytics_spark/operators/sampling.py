@@ -66,6 +66,17 @@ def salted_two_stage_topk(
     (strata = languages, per-stratum quota column) and
     ``clustering.cluster_balanced_sample`` (strata = learned cells,
     constant quota)."""
+    # withColumn silently REPLACES a same-named column — a caller frame
+    # already carrying one of the temp names (or the rank output name)
+    # would have its ranking corrupted with no error. Shared
+    # infrastructure fails loudly instead.
+    clash = {"_salt", "_r1", rank_name}.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            "salted_two_stage_topk: input columns collide with its "
+            f"temp/rank names: {sorted(clash)} — rename them or pass a "
+            "different rank_name"
+        )
     drawn = df.withColumn("_salt", F.pmod(salt_on, F.lit(n_salts)))
     stage1 = drawn.withColumn(
         "_r1",
@@ -533,6 +544,7 @@ def dsir_importance_weights(
     the bigram LM's <2-token exclusion).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
+    from .memo import session_frame
     from .ranking import _tokens
 
     bucket = (
@@ -541,16 +553,35 @@ def dsir_importance_weights(
         ).cast("long")
         % n_hash_buckets
     )
-    feats = docs.select(
-        "doc_id", "lang", F.explode(_tokens()).alias("term")
-    ).select("doc_id", "lang", bucket.alias("bucket"))
+
+    def _build_doc_bucket() -> DataFrame:
+        feats = docs.select(
+            "doc_id", "lang", F.explode(_tokens()).alias("term")
+        ).select("doc_id", "lang", bucket.alias("bucket"))
+        return feats.groupBy("doc_id", "lang", "bucket").agg(
+            F.count("*").alias("cnt")
+        )
+
     # ONE corpus aggregation at (doc, bucket) grain; the bucket stats roll
     # up FROM it (cr = Σ cnt, ct = Σ cnt over target-lang docs) — the same
-    # agg-of-agg idiom as ranking's cu-from-cb, so the tokenize + explode
-    # + md5 subtree runs once, not once per consumer
-    doc_bucket = feats.groupBy("doc_id", "lang", "bucket").agg(
-        F.count("*").alias("cnt")
-    )
+    # agg-of-agg idiom as ranking's cu-from-cb. The frame is CHECKPOINTED
+    # (and session-memoized — it is the DSIR featurization, a fitted
+    # artifact independent of the target domain): before round 7 the
+    # "runs once" claim held only through AQE runtime exchange reuse —
+    # the static plan embedded this subtree six times across the
+    # stats/totals/ratios broadcast branches, and with
+    # spark.sql.adaptive.enabled=false the corpus pipeline executed
+    # several times (round-6 advice). A checkpoint leaf makes the claim
+    # structural, not optimizer-dependent; test_plan_shape pins it.
+    if checkpoint:
+        doc_bucket = session_frame(
+            spark,
+            sf_dir,
+            f"dsir_doc_bucket_{n_hash_buckets}",
+            _build_doc_bucket,
+        )
+    else:  # plan-shape tests inspect the raw inner chain
+        doc_bucket = _build_doc_bucket()
     stats = doc_bucket.groupBy("bucket").agg(
         F.sum("cnt").alias("cr"),
         F.sum(
