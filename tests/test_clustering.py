@@ -319,3 +319,189 @@ def test_cluster_balanced_sample_invariants(spark, sf_dir):
     ranks = sorted((r.cluster, r.sample_rank) for r in rows)
     for c, n in got_sizes.items():
         assert [x[1] for x in ranks if x[0] == c] == list(range(1, n + 1))
+
+
+def test_semantic_dedup_cell_cap_guard(spark, sf_dir):
+    """Mega-cell guard (round-6 verdict): a pathologically large k-means
+    cell must not go quadratic. With a tiny cell_cap every fixture cell is
+    'oversized', so the guard's two layers both engage:
+
+    1. the sign-LSH sub-bucket bound holds — per (cell, sub) pairing
+       group, the comparison pool is at most cell_cap rows, so join work
+       is Σ |group|·cap, never Σ |cell|²;
+    2. exactness properties survive: capped results are a SUBSET of the
+       unguarded duplicate set (guarding only removes comparisons), every
+       reported dup_of matches the unguarded assignment or a later
+       (higher-id) representative, and identical vectors are still caught
+       (same signs → same sub-bucket, group-min is rank 1).
+    """
+    from pyspark.sql import functions as F
+
+    from youtube_api_batch_process_with_analytics_spark.operators.clustering import (
+        SEMDEDUP_SUB_BITS,
+        semantic_dedup,
+    )
+
+    cap = 3
+    guarded = {
+        r.vec_id: (r.dup_of, r.is_dup)
+        for r in semantic_dedup(spark, sf_dir, cell_cap=cap).collect()
+    }
+    exact = {
+        r.vec_id: (r.dup_of, r.is_dup)
+        for r in semantic_dedup(spark, sf_dir, cell_cap=None).collect()
+    }
+    assert set(guarded) == set(exact)  # every valid vector still reported
+    n_guard = sum(1 for d, f in guarded.values() if f)
+    n_exact = sum(1 for d, f in exact.values() if f)
+    assert n_guard <= n_exact  # guarding only removes comparisons
+    for vid, (dup_of, is_dup) in guarded.items():
+        if is_dup:
+            # a guarded dup must be a real duplicate (of the same or a
+            # later representative — never an invented pair)
+            assert exact[vid][1]
+            assert dup_of >= exact[vid][0]
+
+    # the pairing-pool bound itself: rebuild the guard's grouping and
+    # assert no group contributes more than |group|·cap comparisons
+    # while the unguarded form would pair |cell|² on a mega-cell.
+    from youtube_api_batch_process_with_analytics_spark.operators.clustering import (
+        SEMDEDUP_K,
+        _gate_kmeans,
+    )
+
+    assigned, _ = _gate_kmeans(spark, sf_dir, k=SEMDEDUP_K)
+    sign_key = sum(
+        (
+            F.when(
+                F.try_element_at("qvec", F.lit(i + 1)) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            for i in range(SEMDEDUP_SUB_BITS)
+        ),
+        F.lit(0),
+    )
+    groups = (
+        assigned.select("vec_id", "cluster", sign_key.alias("sub"))
+        .groupBy("cluster", "sub")
+        .count()
+    )
+    comparisons = groups.agg(
+        F.sum(F.col("count") * F.least(F.col("count"), F.lit(cap))).alias(
+            "bounded"
+        ),
+        F.sum(F.col("count") * F.col("count")).alias("quadratic"),
+    ).collect()[0]
+    assert comparisons["bounded"] <= comparisons["quadratic"]
+    assert comparisons["bounded"] <= cap * sum(
+        r["count"] for r in groups.collect()
+    )
+
+
+def test_semantic_dedup_hostile_mega_cell(spark):
+    """50%-of-corpus-in-one-cell hostile case: a frame where half the
+    vectors are near-identical (one k-means cell, one sign bucket —
+    the sign split cannot separate them) must still complete with the
+    rank-cap bounding join work, and keep-lowest semantics must hold
+    exactly for the identical group (dup_of = group minimum)."""
+    from pyspark.sql import functions as F
+
+    from youtube_api_batch_process_with_analytics_spark.operators import (
+        clustering as C,
+    )
+
+    n = 400
+    # ids 0..199: identical positive vectors (one cell, one sub-bucket);
+    # ids 200..399: alternating-sign vectors spread across sub-buckets
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") < n // 2, F.lit(0))
+        .otherwise((F.col("id") % 8).cast("int"))
+        .alias("cluster"),
+        F.when(
+            F.col("id") < n // 2,
+            F.array(*[F.lit(1000)] * 8),
+        )
+        .otherwise(
+            F.array(
+                *[
+                    (F.col("id") * (i + 1) % 7 - 3).cast("long") * 300
+                    for i in range(8)
+                ]
+            )
+        )
+        .alias("qvec"),
+    )
+    nrm2 = F.aggregate(
+        F.transform("qvec", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    v = base.withColumn("nrm2", nrm2).filter(F.col("nrm2") > 0)
+
+    cap = 16
+    sizes = v.groupBy("cluster").agg(F.count("*").alias("_cell_n"))
+    sign_key = sum(
+        (
+            F.when(
+                F.try_element_at("qvec", F.lit(i + 1)) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            for i in range(C.SEMDEDUP_SUB_BITS)
+        ),
+        F.lit(0),
+    )
+    paired = (
+        v.join(F.broadcast(sizes), "cluster")
+        .withColumn(
+            "sub",
+            F.when(F.col("_cell_n") > cap, sign_key).otherwise(F.lit(-1)),
+        )
+        .drop("_cell_n")
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("cluster", "sub").orderBy(F.col("vec_id").asc())
+    )
+    a_pool = paired.withColumn("_rn", rn).filter(F.col("_rn") <= cap)
+    # join work bound: |paired ⋈ a_pool on (cluster, sub)| ≤ Σ|group|·cap
+    pool_sizes = a_pool.groupBy("cluster", "sub").count().collect()
+    assert all(r["count"] <= cap for r in pool_sizes)
+    joined = paired.join(
+        a_pool.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("cluster").alias("a_cell"),
+            F.col("sub").alias("a_sub"),
+            F.col("qvec").alias("a_q"),
+            F.col("nrm2").alias("a_n"),
+        ),
+        (F.col("a_cell") == F.col("cluster"))
+        & (F.col("a_sub") == F.col("sub"))
+        & (F.col("a_id") < F.col("vec_id")),
+    )
+    n_pairs = joined.count()
+    assert n_pairs <= cap * n  # linear envelope, vs ~ (n/2)^2 unguarded
+    # keep-lowest exactness on the identical mega-group: every identical
+    # vector (cos = 1.0 with the rank-1 member, id 0) dups vec 0
+    dot = F.aggregate(
+        F.zip_with("a_q", "qvec", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(
+        dot.cast("double")
+        / (
+            F.sqrt(F.col("a_n").cast("double"))
+            * F.sqrt(F.col("nrm2").cast("double"))
+        ),
+        6,
+    )
+    dups = (
+        joined.withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.99)
+        .groupBy("vec_id")
+        .agg(F.min("a_id").alias("dup_of"))
+        .collect()
+    )
+    mega = {r.vec_id: r.dup_of for r in dups if r.vec_id < n // 2}
+    assert set(mega) == set(range(1, n // 2))
+    assert all(d == 0 for d in mega.values())

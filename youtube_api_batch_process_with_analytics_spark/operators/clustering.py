@@ -803,11 +803,16 @@ SEMDEDUP_COS_THRESHOLD = 0.3
 SEMDEDUP_K = 32
 
 
+SEMDEDUP_CELL_CAP = 4096
+SEMDEDUP_SUB_BITS = 16
+
+
 def semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
     k: int = SEMDEDUP_K,
     tau: float = SEMDEDUP_COS_THRESHOLD,
+    cell_cap: int | None = SEMDEDUP_CELL_CAP,
 ) -> DataFrame:
     """SemDeDup-style cluster-scoped semantic deduplication (Abbas et al.
     2023, arXiv:2303.09540 — public method): assign every embedding to a
@@ -826,9 +831,37 @@ def semantic_dedup(
     bit-identical across engines (the pq_adc_topk contract). Degenerate
     all-zero quantizations are excluded explicitly on both engines.
 
+    Mega-cell guard (round-6 verdict): "k ∝ √N keeps cells bounded" is
+    policy, not code — a skewed embedding distribution could put 10% of
+    a 100 TB corpus in one cell and go quadratic. ``cell_cap`` makes the
+    envelope structural, in two layers that leave every cell of size ≤
+    cell_cap EXACT (so gated-fixture hashes are unchanged — the largest
+    observed cell is 770 at sf1 vs the 4096 default):
+
+    1. cells larger than the cap are sub-bucketed by a sign-LSH key over
+       the first SEMDEDUP_SUB_BITS quantized components (dedup.py's
+       random-hyperplane band machinery applied inside the cell), and
+       pairing is scoped to (cell, sub-bucket);
+    2. within every pairing group, each vector compares only against the
+       group's ``cell_cap`` LOWEST-id members — exact for groups ≤ cap
+       (rank covers the whole group), and linear |group|·cap work for a
+       degenerate sub-bucket (e.g. thousands of identical vectors, which
+       a sign split cannot separate — and where keep-lowest semantics
+       are still exact, since the group minimum is rank 1).
+
+    A duplicate is missed only when its sole cos ≥ τ partners sit in a
+    different sub-bucket of an OVERSIZED cell or beyond the cap-rank —
+    the documented recall trade on pathological cells only (SemDeDup
+    itself accepts cluster-boundary misses by design). ``cell_cap=None``
+    restores the unguarded all-pairs-within-cell form. The DuckDB oracle
+    models the cap-unbound regime (identical results at gated tiers);
+    the hostile-cell bound is pinned in tests/test_clustering.py.
+
     Output: every valid vector with its cell, prune flag, and the id of
     the retained representative it duplicates (−1 for survivors).
     """
+    if cell_cap is not None and cell_cap < 1:
+        raise ValueError("cell_cap must be >= 1 (or None to disable)")
     assigned, _ = _gate_kmeans(spark, sf_dir, k=k)
     nrm2 = F.aggregate(
         F.transform("qvec", lambda x: x * x),
@@ -849,9 +882,53 @@ def semantic_dedup(
         .filter(F.col("nrm2") > 0)
         .persist()
     )
-    a = v.select(
+    if cell_cap is None:
+        paired = v.withColumn("sub", F.lit(-1))
+        a_pool = paired
+    else:
+        # layer 1: cells above the cap get a sign-LSH sub-bucket key
+        # (axis-aligned hyperplanes over the quantized components — the
+        # in-cell analog of dedup_embedding_cosine's band key); cells
+        # within the cap keep the constant key, i.e. exact all-pairs.
+        sizes = v.groupBy("cluster").agg(F.count("*").alias("_cell_n"))
+        sign_key = sum(
+            (
+                F.when(
+                    F.try_element_at("qvec", F.lit(i + 1)) >= 0,
+                    F.lit(1 << i),
+                ).otherwise(F.lit(0))
+                for i in range(SEMDEDUP_SUB_BITS)
+            ),
+            F.lit(0),
+        )
+        paired = (
+            v.join(F.broadcast(sizes), "cluster")
+            .withColumn(
+                "sub",
+                F.when(F.col("_cell_n") > cell_cap, sign_key).otherwise(
+                    F.lit(-1)
+                ),
+            )
+            .drop("_cell_n")
+        )
+        # layer 2: the comparison pool per (cell, sub) group is its
+        # cell_cap lowest ids — a rank window (sort, never a pair
+        # expansion), bounding join work at |group|·cap even when a
+        # degenerate sub-bucket stays large.
+        rn = F.row_number().over(
+            Window.partitionBy("cluster", "sub").orderBy(
+                F.col("vec_id").asc()
+            )
+        )
+        a_pool = (
+            paired.withColumn("_rn", rn)
+            .filter(F.col("_rn") <= cell_cap)
+            .drop("_rn")
+        )
+    a = a_pool.select(
         F.col("vec_id").alias("a_id"),
         F.col("cluster").alias("a_cell"),
+        F.col("sub").alias("a_sub"),
         F.col("qvec").alias("a_q"),
         F.col("nrm2").alias("a_n"),
     )
@@ -869,9 +946,10 @@ def semantic_dedup(
         6,
     )
     dups = (
-        v.join(
+        paired.join(
             a,
             (F.col("a_cell") == F.col("cluster"))
+            & (F.col("a_sub") == F.col("sub"))
             & (F.col("a_id") < F.col("vec_id")),
         )
         .withColumn("cos", cos)
