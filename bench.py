@@ -87,18 +87,15 @@ def main() -> None:
         release_session_frames,
     )
 
+    # Min of 3 reps for EVERY query — symmetric with the DuckDB
+    # comparator (tools/bench_duck.py, same min-of-reps policy), so
+    # neither side's steady state carries more single-sample noise than
+    # the other's.
     timings: dict[str, float] = {}
     for name in sorted(qs):
         release_session_frames()
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _force(qs[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        # Heavy queries (iterative CC, streaming engine, big joins) show
-        # the most environmental variance (JIT/GC state); one extra rep
-        # keeps a noisy sample from inflating the reported steady state.
-        if best > 1.5:
+        for _ in range(3):
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)

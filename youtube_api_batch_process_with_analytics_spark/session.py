@@ -39,11 +39,17 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        # parallelismFirst stays at its default (true): several operators
-        # (LSH verification, range-join expansion) are CPU-bound per row
-        # with tiny byte sizes, and size-targeted coalescing would
-        # serialize them onto one core. Measured: parallelismFirst=false
-        # regressed the suite ~15% at sf0.1.
+        # parallelismFirst stays at its default (true) — measured BOTH
+        # ways at two scales in round 7. false (size-targeted
+        # coalescing) is ~15% faster on the sf0.1 suite, where stage
+        # latency is scheduling-dominated; but at sf1 it coalesces the
+        # CPU-dense tiny-byte verification stages (interpreted HOF dot
+        # products behind the LSH/posting-list joins) onto 1-2 cores:
+        # dedup_embedding_cosine 5.8 s -> 16.2 s, doc_novelty 6.6 -> 10.8.
+        # spread_shuffled() deliberately no-ops on multi-split scans and
+        # defers to AQE there, so the engine's scale design point is
+        # parallelism-first. Keeping the default trades a little
+        # small-scale latency for the setting that survives 100 TB.
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
