@@ -454,10 +454,15 @@ def _ordered(full: dict) -> dict:
 # object. This caches the PLAN only — DataFrames are immutable and carry
 # no materialized data; every execution recomputes from the source scans.
 # Excluded: queries whose construction runs jobs (the streaming gate, the
-# CC convergence loop) or whose returned plan embeds a localCheckpoint
-# (tfidf's tf frame, the LM fit's occurrence explode) — re-executing those
-# same objects would reuse materialized blocks, i.e. silently cache DATA,
-# which would make repeat timings dishonest.
+# CC convergence loop) or whose returned plan embeds a PER-RUN
+# localCheckpoint (DSIR's weights frame) — re-executing those same
+# objects would reuse materialized blocks, i.e. silently cache DATA
+# beyond any declared contract. Checkpoints owned by the session memo
+# (operators/memo.py — tfidf's tf/df, the LM occ/stats/scores, the
+# tokenized scan, DSIR's featurization) are NOT grounds for exclusion:
+# their reuse is the declared fitted-artifact contract, and
+# release_session_frames() clears this plan cache in the same pass so a
+# cached plan never outlives a checkpoint it embeds.
 _PLAN_CACHE: dict[tuple, DataFrame] = {}
 _PLAN_CACHE_SKIP = {
     "quota_latch_final",

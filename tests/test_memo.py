@@ -93,14 +93,36 @@ def test_release_then_refit_matches(spark, sf_dir):
 def test_memo_keyed_by_sf_dir(spark, sf_dir):
     """Two corpora must never share a fitted artifact: the registry key
     includes sf_dir, so a same-session query against a different corpus
-    fits its own frames."""
+    fits its own frames (and reads its own data, not the first corpus's
+    memoized tables)."""
     memo.release_session_frames()
     df1 = _QUERIES["tfidf_top_terms"](spark, sf_dir)
     _force(df1)
     n_one_corpus = memo.n_session_frames()
+    assert n_one_corpus > 0
+    # every registry key carries the sf_dir it was fitted on
+    with memo._LOCK:
+        assert all(k[1] == sf_dir for k in memo._FRAMES)
     # same sf_dir → no new frames
     _force(_QUERIES["tfidf_top_terms"](spark, sf_dir))
     assert memo.n_session_frames() == n_one_corpus
+    # a DIFFERENT corpus in the same session fits its OWN frames and
+    # returns different data — a regression dropping sf_dir from the key
+    # would fail both assertions
+    other = (
+        "/root/testdata/sf0.01"
+        if sf_dir != "/root/testdata/sf0.01"
+        else "/root/testdata/sf0.001"
+    )
+    df2 = _QUERIES["tfidf_top_terms"](spark, other)
+    _force(df2)
+    assert memo.n_session_frames() > n_one_corpus
+    with memo._LOCK:
+        dirs = {k[1] for k in memo._FRAMES}
+    assert dirs == {sf_dir, other}
+    rows1 = sorted(map(tuple, df1.collect()))
+    rows2 = sorted(map(tuple, df2.collect()))
+    assert rows1 != rows2  # different corpora -> different top terms
     memo.release_session_frames()
 
 

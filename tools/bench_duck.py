@@ -8,7 +8,8 @@ goes to a file next to the repo's other bench artifacts.
 Usage:
     python tools/bench_duck.py [sf_dir] [out_name] [reps]
 
-Defaults: /root/testdata/sf0.1, BENCH_DUCK.json, 2 reps. Round-6 verdict
+Defaults: /root/testdata/sf0.1, BENCH_DUCK.json, 3 reps (min-of-3,
+symmetric with bench.py's per-query rep policy). Round-6 verdict
 task #3 asked for a committed comparator at sf1 so the 2x-at-same-scale
 criterion is attested beyond sf0.1:
     python tools/bench_duck.py testdata_sf1 BENCH_DUCK_SF1.json
@@ -32,7 +33,7 @@ from youtube_api_batch_process_with_analytics_spark.sources import TABLES
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_name = sys.argv[2] if len(sys.argv) > 2 else "BENCH_DUCK.json"
-    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     con = duckdb.connect()

@@ -129,11 +129,21 @@ def release_session_frames() -> None:
         _FRAMES.clear()
         tracked = list(_TRACKED)
         _TRACKED.clear()
+    # Best-effort: a frame registered under a previous, now-stopped
+    # SparkSession raises through py4j on unpersist — skip it (its JVM
+    # is gone, so its storage is too) rather than abandoning the
+    # remaining live frames mid-loop.
     for df, was_persist in frames:
         if was_persist:
-            df.unpersist()
+            try:
+                df.unpersist()
+            except Exception:
+                pass
     for df in tracked:
-        df.unpersist()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 
 
 def n_session_frames() -> int:

@@ -355,33 +355,45 @@ def doc_novelty(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     for every later one. ``novelty_permille`` = 1000·novel/total windows,
     as exact integers — no float division, so cross-engine trivially.
 
-    Scale shape (round 7 rewrite): aggregate windows to the (fp, doc_id)
-    grain first — ONE corpus shuffle with map-side partials, which is
-    also the skew absorber (a hot fingerprint reduces to one row per
-    containing doc before anything wide happens) — then take
-    ``min(doc_id) OVER (PARTITION BY fp)`` on that reduced frame and
-    roll up per doc. No join at all. The previous form computed a
-    first-seen table (≈ one row per DISTINCT fingerprint — corpus-sized,
-    2.2M rows at sf1) and salted-joined it back, replicating it 8×
-    through the shuffle; salting is for hot keys, and md5 fingerprints
-    cannot be hot — that replication was ~70% of the query's sf1
-    wall-clock (6.9 s → ~1.6 s). Window-partition width is bounded by
-    the number of docs containing the gram, the same envelope the join
-    had.
+    Scale shape (round 7 rewrite, v2): every wide step is a PARTIAL-
+    AGGREGABLE hash aggregate — no join of a corpus-sized table, no
+    window. (1) windows reduce to the (fp, doc_id) grain with map-side
+    partials; (2) ``min(struct(doc_id, cnt))`` per fp picks the earliest
+    document AND carries that document's window count in the same
+    aggregate — the struct min is associative, so a boilerplate
+    fingerprint in millions of documents combines map-side instead of
+    landing on one reducer (the v1 rewrite used ``min() OVER (PARTITION
+    BY fp)``, which a hot fingerprint would have funneled into a single
+    unsplittable window partition; and the round-6 form salted-joined a
+    corpus-sized first-seen table back, 8×-replicating it — ~70% of the
+    query's sf1 wall-clock); (3) novel counts roll up per winning doc,
+    total counts per doc, and the two doc-keyed aggregates (≤ one row
+    per document each) left-join to produce the permille. The shared
+    (fp, doc_id) aggregate feeds both legs through one reused exchange.
     """
     grams = _grams(_toks_df(docs), k)
     per = grams.groupBy("fp", "doc_id").agg(F.count("*").alias("cnt"))
-    scored = per.withColumn(
-        "_first", F.min("doc_id").over(Window.partitionBy("fp"))
+    # (fp, doc_id) is unique per row, so the struct min is decided by
+    # doc_id alone; cnt rides along to avoid any join back
+    firsts = per.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "cnt")).alias("m")
     )
+    novel = (
+        firsts.select(
+            F.col("m.doc_id").alias("doc_id"), F.col("m.cnt").alias("cnt")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_novel_raw"))
+    )
+    totals = per.groupBy("doc_id").agg(F.sum("cnt").alias("n_windows"))
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_windows"),
-            F.sum(
-                F.when(F.col("doc_id") == F.col("_first"), F.col("cnt"))
-                .otherwise(F.lit(0))
-            ).alias("n_novel"),
+        totals.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            # a doc whose every fingerprint was seen earlier has no
+            # `novel` row — 0, kept non-nullable for the pandas fetch
+            F.coalesce("n_novel_raw", F.lit(0)).alias("n_novel"),
         )
         .select(
             "doc_id",

@@ -287,6 +287,12 @@ def _admitted_pool(events: DataFrame) -> DataFrame:
     quotas. One wide shuffle on (key, day, hour) feeds both aggregates
     (the hourly max re-aggregates the finer grain). Shared by the
     ``least_used`` and ``round_robin`` rotation policies."""
+    # a request without a key is not a key: NULL user_id is excluded
+    # EXPLICITLY on both engines. Without the filter a NULL key surviving
+    # admission would take a slot, and the engines disagree on where it
+    # sorts (Spark asc() is NULLS FIRST, DuckDB ASC is NULLS LAST) —
+    # every other key's slot would shift and the rotation twins diverge.
+    events = events.filter(F.col("user_id").isNotNull())
     hourly = events.groupBy(
         F.col("user_id").alias("key_id"),
         F.date_trunc("day", F.col("ts")).alias("day"),
@@ -306,7 +312,7 @@ _ADMISSION_SQL = f"""hourly AS (
          date_trunc('day', ts) AS day,
          date_trunc('hour', ts) AS hour,
          COUNT(*) AS hour_cnt
-  FROM events GROUP BY 1, 2, 3
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2, 3
 ),
 per_day AS (
   SELECT key_id, day,

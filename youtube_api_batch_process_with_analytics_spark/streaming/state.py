@@ -31,7 +31,21 @@ from ..operators.memo import register_releaser
 
 # (applicationId, sf_dir) -> staged parquet source dir for the latch gate
 _LATCH_SRC_CACHE: dict[tuple, str] = {}
-register_releaser(_LATCH_SRC_CACHE.clear)
+
+
+def _release_latch_sources() -> None:
+    """Delete the staged source dirs, not just the references — each
+    holds a full coalesced copy of the events table, and a long-lived
+    session alternating releases with the latch query would otherwise
+    accumulate orphaned copies in /tmp."""
+    import shutil
+
+    while _LATCH_SRC_CACHE:
+        _, path = _LATCH_SRC_CACHE.popitem()
+        shutil.rmtree(path, ignore_errors=True)
+
+
+register_releaser(_release_latch_sources)
 
 DAILY_QUOTA = 10_000  # config.py:15
 
