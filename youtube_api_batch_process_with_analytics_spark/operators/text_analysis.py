@@ -516,9 +516,20 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" i -> md5(substring(norm, i, {WINNOW_K})))"
     )
     h = d.select("doc_id", kgram_hashes.alias("h"))
+    # Sliding-window min WITHOUT per-position allocation: the round-7
+    # form materialized a fresh w-element slice() array per position and
+    # array_min'd it — O(n·w) allocations per document, 2.4–3.0× its
+    # DuckDB twin (whose ROWS-frame MIN is incremental). least() over w
+    # element_at lookups is the same O(n·w) comparisons but zero
+    # allocation and stays a single scalar expression per position —
+    # map-only, no shuffle (the posexplode + frame-window alternative
+    # pays a corpus-length shuffle for its O(n) aggregation; w here is a
+    # small constant, so comparisons are not the bottleneck, allocation
+    # was). For large w the two-pass block-min formulation would win.
+    least_w = ", ".join(f"element_at(h, j + {i})" for i in range(WINNOW_W))
     mins = F.expr(
         f"transform(sequence(1, size(h) - {WINNOW_W} + 1),"
-        f" j -> array_min(slice(h, j, {WINNOW_W})))"
+        f" j -> least({least_w}))"
     )
     return h.select(
         "doc_id",
