@@ -35,6 +35,24 @@ def test_vectorized_matches_fold(spark, sf_dir):
     assert t0_base > 0
 
 
+def test_ivf_gemm_shortlist_matches_expression_path(spark, sf_dir):
+    """ann_ivf_topk's GEMM shortlist + fold-exact rerank must reproduce
+    the expression-only reference BIT-FOR-BIT (it prunes with the kernel
+    but re-scores survivors with the same fold expression; a shortlist
+    that ever dropped a true top-k candidate would differ here and in the
+    oracle gate)."""
+    from youtube_api_batch_process_with_analytics_spark.operators.similarity import (
+        ann_ivf_topk,
+    )
+
+    ref = sorted(
+        tuple(r) for r in ann_ivf_topk(spark, sf_dir, gemm_shortlist=False).collect()
+    )
+    got = sorted(tuple(r) for r in ann_ivf_topk(spark, sf_dir).collect())
+    assert len(ref) > 0
+    assert got == ref
+
+
 def test_vectorized_local_topk_bounds_shuffle_volume(spark, sf_dir):
     """The GEMM stage must emit only per-batch local top-(k+1) candidate
     rows into the ranking shuffle — not all |Q|×N pairs. Upper bound:
