@@ -209,12 +209,15 @@ def test_tokenizer_parity_spark_vs_duckdb(spark, duck):
 
 
 def test_tfidf_hot_term_join_is_salted(spark, tmp_path):
-    """The tf ⋈ df posting-list join's skew hazard is a stopword present
-    in every document. AQE's OptimizeSkewedJoin cannot split this join —
-    both inputs are aggregate-finalized stages, not raw shuffle reads —
-    so the operator salts explicitly (operators/skew.py). Pin (a) the
-    join keys include the salt, and (b) the salted result is identical
-    to the plain unsalted join on a hot-term fixture."""
+    """Round 8: the DEFAULT tf ⋈ df join is a PLAIN equi-join — the df
+    side is vocabulary-sized and AQE broadcasts it at runtime, which is
+    skew-immune by construction (no reducer for a hot stopword to land
+    on). The explicit salted form remains the escape hatch for the
+    shuffle regime (vocabulary too large to broadcast, where AQE's
+    OptimizeSkewedJoin provably never fires on aggregate-finalized
+    inputs — operators/skew.py). Pin (a) the default plan carries NO
+    salt, (b) the salted=True plan does, and (c) both produce identical
+    rows on a hot-term fixture."""
     import random
 
     rng = random.Random(11)
@@ -237,12 +240,21 @@ def test_tfidf_hot_term_join_is_salted(spark, tmp_path):
     ).coalesce(2).write.mode("overwrite").parquet(
         str(tmp_path / "documents.parquet")
     )
-    out = rk.tfidf_top_terms(spark, str(tmp_path))
+    out = rk.tfidf_top_terms(spark, str(tmp_path), memo=False)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert "_salt" in plan, plan[:3000]
+    assert "_salt" not in plan, plan[:3000]
 
     got = {(r.doc_id, r.term, r.tf, r.df, r.score, r.term_rank)
            for r in out.collect()}
+
+    salted = rk.tfidf_top_terms(spark, str(tmp_path), salted=True, memo=False)
+    salted_plan = salted._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in salted_plan, salted_plan[:3000]
+    got_salted = {
+        (r.doc_id, r.term, r.tf, r.df, r.score, r.term_rank)
+        for r in salted.collect()
+    }
+    assert got_salted == got
     # unsalted reference built from the same internals
     from youtube_api_batch_process_with_analytics_spark.sources import (
         load_table as lt,
