@@ -87,18 +87,29 @@ def main() -> None:
         release_session_frames,
     )
 
-    # Min of 3 reps for EVERY query — symmetric with the DuckDB
-    # comparator (tools/bench_duck.py, same min-of-reps policy), so
-    # neither side's steady state carries more single-sample noise than
-    # the other's.
+    # Min of 3 reps for EVERY query — same rep-and-min policy as the
+    # DuckDB comparator (tools/bench_duck.py). One asymmetry remains and
+    # is REPORTED rather than hidden (ADVICE r7): session-memoized fitted
+    # artifacts (tf/df, LM stats, span grain, …) are fitted on rep 1 and
+    # reused by reps 2-3, while the DuckDB twin re-executes its fit CTEs
+    # every rep. The min is therefore the prepared-serving steady state
+    # on the Spark side and a full cold run on the DuckDB side. Both
+    # numbers ship: `queries` carries the warm min, `cold` carries each
+    # query's rep-1 wall-clock (fit included, plus first-run codegen) so
+    # the fit cost is visible per query, and README's bench-methodology
+    # table states the asymmetry next to the ratios.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in sorted(qs):
         release_session_frames()
         best = float("inf")
-        for _ in range(3):
+        for rep in range(3):
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if rep == 0:
+                cold[name] = round(dt, 3)
+            best = min(best, dt)
         timings[name] = round(best, 3)
     release_session_frames()
 
@@ -108,6 +119,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cold": cold,
+        "cold_total": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full per-query detail goes to a file (the driver's stdout capture

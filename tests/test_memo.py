@@ -144,3 +144,42 @@ def test_score_micro_bound_holds(spark, sf_dir):
     )
     assert 0 <= row["lo"] <= row["hi"] <= 1_000_000
     memo.release_session_frames()
+
+
+def test_latch_source_release_defers_while_in_use(tmp_path):
+    """ADVICE r7: a release must never rmtree a staged latch source out
+    from under an active streaming run. With the dir marked in-use,
+    release only unlinks it from the cache (doomed); the last reader's
+    exit performs the physical delete. No Spark needed — the lifecycle
+    functions are pure bookkeeping around the staged path."""
+    import os
+
+    from youtube_api_batch_process_with_analytics_spark.streaming import state as st
+
+    staged = tmp_path / "latch_src_fake"
+    staged.mkdir()
+    (staged / "part-0.parquet").write_bytes(b"x")
+    key = ("app-test", "sf-test")
+    with st._LATCH_LOCK:
+        st._LATCH_SRC_CACHE[key] = str(staged)
+        st._LATCH_IN_USE[str(staged)] = 1  # simulate an active run
+
+    st._release_latch_sources()
+    assert os.path.isdir(staged)  # still on disk: reader active
+    with st._LATCH_LOCK:
+        assert key not in st._LATCH_SRC_CACHE  # but unlinked from cache
+        assert str(staged) in st._LATCH_DOOMED
+
+    st._latch_src_release(str(staged))  # last reader exits
+    assert not os.path.exists(staged)
+    with st._LATCH_LOCK:
+        assert str(staged) not in st._LATCH_IN_USE
+        assert str(staged) not in st._LATCH_DOOMED
+
+    # idle dirs are deleted synchronously by release
+    idle = tmp_path / "latch_src_idle"
+    idle.mkdir()
+    with st._LATCH_LOCK:
+        st._LATCH_SRC_CACHE[key] = str(idle)
+    st._release_latch_sources()
+    assert not os.path.exists(idle)

@@ -813,6 +813,7 @@ def semantic_dedup(
     k: int = SEMDEDUP_K,
     tau: float = SEMDEDUP_COS_THRESHOLD,
     cell_cap: int | None = SEMDEDUP_CELL_CAP,
+    sub_bits: int = SEMDEDUP_SUB_BITS,
 ) -> DataFrame:
     """SemDeDup-style cluster-scoped semantic deduplication (Abbas et al.
     2023, arXiv:2303.09540 — public method): assign every embedding to a
@@ -897,7 +898,7 @@ def semantic_dedup(
                     F.try_element_at("qvec", F.lit(i + 1)) >= 0,
                     F.lit(1 << i),
                 ).otherwise(F.lit(0))
-                for i in range(SEMDEDUP_SUB_BITS)
+                for i in range(sub_bits)
             ),
             F.lit(0),
         )
@@ -1014,6 +1015,104 @@ ORDER BY v.vec_id"""
     return "".join(parts)
 
 
+# Gate-variant knobs, chosen so BOTH guard layers demonstrably fire on
+# the sf0.01 fixture (measured): cap 4 < the ~15-vector cells, so every
+# ordinary cell sub-buckets; 2 sign bits keep buckets coarse (≈3.8
+# vectors average, 50 groups still above the cap → the lowest-id
+# rank-cap also engages) while retaining 44 within-bucket duplicates —
+# a run where the guard both reshapes the pairing AND still finds dups.
+SEMDEDUP_GATE_CAP = 4
+SEMDEDUP_GATE_SUB_BITS = 2
+
+
+def semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine attestation of ``semantic_dedup``'s mega-cell guard
+    (ADVICE r7): the default-cap gate row only ever exercises the regime
+    where the guard does NOT fire (every fixture cell is far below 4096),
+    leaving the sub-bucket + rank-cap path pinned solely by the hostile
+    pytest. This variant runs the SAME production function with gate
+    knobs small enough that most fixture cells are oversized, against a
+    DuckDB oracle that encodes the identical sign-LSH sub-bucket and
+    lowest-id rank-cap semantics, so the guarded path gets the same
+    hash-level cross-engine verification as the exact path.
+    """
+    return semantic_dedup(
+        spark,
+        sf_dir,
+        cell_cap=SEMDEDUP_GATE_CAP,
+        sub_bits=SEMDEDUP_GATE_SUB_BITS,
+    )
+
+
+def oracle_semantic_dedup_capped(
+    k: int = SEMDEDUP_K,
+    n_iter: int = KMEANS_GATE_ITERS,
+    scale: int = QUANT_SCALE,
+    tau: float = SEMDEDUP_COS_THRESHOLD,
+    cap: int = SEMDEDUP_GATE_CAP,
+    sub_bits: int = SEMDEDUP_GATE_SUB_BITS,
+) -> str:
+    sign_key = " + ".join(
+        f"CASE WHEN qvec[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+        for i in range(sub_bits)
+    )
+    parts = [
+        f"""WITH emb AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qvec
+  FROM embeddings WHERE {_EMB_VALID}
+),
+qx AS (
+  SELECT vec_id, generate_subscripts(qvec, 1) AS pos, unnest(qvec) AS x
+  FROM emb
+),
+a0 AS (SELECT vec_id, CAST(vec_id % {k} AS INTEGER) AS cluster FROM emb)"""
+    ]
+    for r in range(1, n_iter + 1):
+        parts.append(_oracle_round(r))
+    parts.append(
+        f""",
+v AS (
+  SELECT e.vec_id, a.cluster, e.qvec,
+         list_reduce(list_transform(e.qvec, x -> x * x),
+                     (acc, y) -> acc + y) AS nrm2
+  FROM emb e JOIN a{n_iter} a USING (vec_id)
+  WHERE list_reduce(list_transform(e.qvec, x -> x * x),
+                    (acc, y) -> acc + y) > 0
+),
+sizes AS (SELECT cluster, COUNT(*) AS cell_n FROM v GROUP BY cluster),
+pv AS (
+  SELECT v.*,
+         CASE WHEN s.cell_n > {cap} THEN ({sign_key}) ELSE -1 END AS sub
+  FROM v JOIN sizes s USING (cluster)
+),
+pool AS (
+  SELECT vec_id, cluster, sub, qvec, nrm2 FROM (
+    SELECT pv.*, ROW_NUMBER() OVER (
+      PARTITION BY cluster, sub ORDER BY vec_id) AS rn
+    FROM pv
+  ) WHERE rn <= {cap}
+),
+dups AS (
+  SELECT b.vec_id, MIN(a.vec_id) AS dup_of_raw
+  FROM pool a JOIN pv b
+    ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id < b.vec_id
+  WHERE ROUND(CAST(list_reduce(list_transform(list_zip(a.qvec, b.qvec),
+                  p -> p[1] * p[2]), (acc, y) -> acc + y) AS DOUBLE)
+              / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))),
+              6) >= {tau}
+  GROUP BY b.vec_id
+)
+SELECT v.vec_id, v.cluster,
+       COALESCE(d.dup_of_raw, -1) AS dup_of,
+       d.dup_of_raw IS NOT NULL AS is_dup
+FROM v LEFT JOIN dups d USING (vec_id)
+ORDER BY v.vec_id"""
+    )
+    return "".join(parts)
+
+
 CB_SALT = "cb42:"
 CB_PER_CLUSTER = 30
 CB_SALT_BUCKETS = 16
@@ -1108,6 +1207,7 @@ QUERIES = {
     "pq_codes": pq_codes_query,
     "pq_adc_topk": pq_adc_topk,
     "semantic_dedup": semantic_dedup,
+    "semantic_dedup_capped": semantic_dedup_capped,
     "cluster_balanced_sample": cluster_balanced_sample,
 }
 
@@ -1117,5 +1217,6 @@ ORACLES = {
     "pq_codes": oracle_pq_codes(),
     "pq_adc_topk": oracle_pq_adc_topk(),
     "semantic_dedup": oracle_semantic_dedup(),
+    "semantic_dedup_capped": oracle_semantic_dedup_capped(),
     "cluster_balanced_sample": oracle_cluster_balanced_sample(),
 }

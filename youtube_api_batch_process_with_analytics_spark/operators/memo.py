@@ -119,6 +119,17 @@ def release_session_frames() -> None:
     checkpointed frames are released by reference-drop only — see the
     module docstring for why a localCheckpoint must never be force-
     unpersisted while a plan could still reference it.
+
+    CONTRACT: release INVALIDATES every DataFrame previously returned by
+    a query builder that embeds a checkpointed session frame (directly
+    or via the entry-point plan cache, which this call clears through
+    its registered releaser). Once the ContextCleaner reclaims the
+    dropped checkpoint's blocks, re-executing such a handle fails with a
+    block-not-found error — a localCheckpoint has no lineage to recompute
+    from. Callers that hold query DataFrames across a release must
+    re-request them from ``queries()`` (construction is cheap; data is
+    refit on first action). This is the same lifecycle as any prepared-
+    statement handle outliving its session.
     """
     with _LOCK:
         releasers = list(_RELEASERS)

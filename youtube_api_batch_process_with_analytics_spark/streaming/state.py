@@ -29,20 +29,82 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.memo import register_releaser
 
-# (applicationId, sf_dir) -> staged parquet source dir for the latch gate
+# (applicationId, sf_dir) -> staged parquet source dir for the latch gate.
+# All three structures below are guarded by _LATCH_LOCK (the memo-module
+# discipline): a release used to rmtree a staged dir with no
+# coordination, so a concurrent release while another thread's latch
+# query was mid-read would delete the source out from under it. Now a
+# dir with active readers is only UNLINKED from the cache at release
+# time (marked doomed) and physically deleted by the last reader.
+_LATCH_LOCK = __import__("threading").Lock()
 _LATCH_SRC_CACHE: dict[tuple, str] = {}
+_LATCH_IN_USE: dict[str, int] = {}  # staged dir -> active latch runs
+_LATCH_DOOMED: set[str] = set()  # released while in use; delete on last exit
 
 
 def _release_latch_sources() -> None:
     """Delete the staged source dirs, not just the references — each
     holds a full coalesced copy of the events table, and a long-lived
     session alternating releases with the latch query would otherwise
-    accumulate orphaned copies in /tmp."""
+    accumulate orphaned copies in /tmp. Dirs with an active streaming
+    run are deferred to that run's exit."""
     import shutil
 
-    while _LATCH_SRC_CACHE:
-        _, path = _LATCH_SRC_CACHE.popitem()
-        shutil.rmtree(path, ignore_errors=True)
+    with _LATCH_LOCK:
+        paths = list(_LATCH_SRC_CACHE.values())
+        _LATCH_SRC_CACHE.clear()
+        to_delete = []
+        for p in paths:
+            if _LATCH_IN_USE.get(p):
+                _LATCH_DOOMED.add(p)
+            else:
+                to_delete.append(p)
+    for p in to_delete:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _latch_src_acquire(spark, sf_dir: str, events: DataFrame) -> str:
+    """Return the staged source dir for (session, corpus), staging it on
+    first use, with an in-use count held until ``_latch_src_release``."""
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _LATCH_LOCK:
+        src = _LATCH_SRC_CACHE.get(key)
+        if src is not None:
+            _LATCH_IN_USE[src] = _LATCH_IN_USE.get(src, 0) + 1
+            return src
+    staged = tempfile.mkdtemp(prefix="latch_src_")
+    # Few large source files and a narrow stateful shuffle: the latch
+    # keeps three scalars per key (150 keys) — 32 state partitions
+    # would mean 32 Python state workers for a handful of rows each.
+    # Production sizing follows key cardinality, not the session's
+    # relational default.
+    events.coalesce(4).write.mode("overwrite").parquet(staged)
+    with _LATCH_LOCK:
+        src = _LATCH_SRC_CACHE.get(key)
+        if src is None:
+            _LATCH_SRC_CACHE[key] = src = staged
+        _LATCH_IN_USE[src] = _LATCH_IN_USE.get(src, 0) + 1
+    if src is not staged:  # benign first-caller race: loser cleans up
+        shutil.rmtree(staged, ignore_errors=True)
+    return src
+
+
+def _latch_src_release(src: str) -> None:
+    import shutil
+
+    with _LATCH_LOCK:
+        n = _LATCH_IN_USE.get(src, 0) - 1
+        if n > 0:
+            _LATCH_IN_USE[src] = n
+            return
+        _LATCH_IN_USE.pop(src, None)
+        doomed = src in _LATCH_DOOMED
+        _LATCH_DOOMED.discard(src)
+    if doomed:
+        shutil.rmtree(src, ignore_errors=True)
 
 
 register_releaser(_release_latch_sources)
@@ -277,7 +339,6 @@ def quota_latch_final(spark, sf_dir: str) -> DataFrame:
     micro-batch splits (counts are associative; the latch is monotone), so
     a SQL oracle can verify the streaming engine's answer bit-for-bit.
     """
-    import tempfile
     import uuid
 
     from ..sources import load_table
@@ -287,18 +348,9 @@ def quota_latch_final(spark, sf_dir: str) -> DataFrame:
     # production stream reads an existing source, it doesn't re-write its
     # own input first. Stage once per (session, corpus); the streaming
     # run itself (fresh checkpoint, state stores, memory sink) stays
-    # fully per-invocation. Cleared by memo.release_session_frames().
-    key = (spark.sparkContext.applicationId, sf_dir)
-    src = _LATCH_SRC_CACHE.get(key)
-    if src is None:
-        src = tempfile.mkdtemp(prefix="latch_src_")
-        # Few large source files and a narrow stateful shuffle: the latch
-        # keeps three scalars per key (150 keys) — 32 state partitions
-        # would mean 32 Python state workers for a handful of rows each.
-        # Production sizing follows key cardinality, not the session's
-        # relational default.
-        events.coalesce(4).write.mode("overwrite").parquet(src)
-        _LATCH_SRC_CACHE[key] = src
+    # fully per-invocation. Cleared by memo.release_session_frames()
+    # (deferred past this run if a release races it — _latch_src_acquire).
+    src = _latch_src_acquire(spark, sf_dir, events)
     stream = spark.readStream.schema(events.schema).parquet(src)
     name = "latch_gate_" + uuid.uuid4().hex[:8]
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -316,6 +368,7 @@ def quota_latch_final(spark, sf_dir: str) -> DataFrame:
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _latch_src_release(src)
     w = "(partition by key_id order by total_requests desc)"
     return (
         spark.sql(
