@@ -363,3 +363,57 @@ def test_value_hash_invariant_to_input_layout(spark, sf_dir, tmp_path):
         ha = co.value_hash([tuple(r) for r in a.collect()], a.columns)
         hb = co.value_hash([tuple(r) for r in b.collect()], b.columns)
         assert ha == hb, f"{name}: layout-dependent result"
+
+
+def test_day_partitioned_events_scan_prunes_partitions(spark, sf_dir, tmp_path):
+    """The 100-TB events layout (sources/partitioned.py): a day predicate
+    on the partition column must compile to PartitionFilters on the file
+    scan — directory-level pruning — NOT a post-scan data filter. Pinned:
+    (a) PartitionFilters carries the day equality, (b) `day` is absent
+    from the data-filter/ReadSchema side, (c) the pruned read returns
+    exactly the full scan's rows for that day, and (d) the anti-pattern
+    (filtering on to_date(ts) instead of the partition column) leaves
+    PartitionFilters empty — the regression this pin exists to catch."""
+    from youtube_api_batch_process_with_analytics_spark.sources import (
+        load_table,
+        read_events_day,
+        write_events_day_partitioned,
+    )
+    from youtube_api_batch_process_with_analytics_spark.sources.partitioned import (
+        F as _F,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    root = str(tmp_path / "events_byday")
+    write_events_day_partitioned(events, root)
+
+    full = spark.read.parquet(root)
+    days = sorted(r["day"] for r in full.select("day").distinct().collect())
+    assert len(days) > 1  # fixture spans multiple days, else pruning is moot
+    target = days[len(days) // 2]
+
+    import re
+
+    pruned = read_events_day(spark, root, day=target)
+    scan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", scan)
+    assert pf and re.search(r"day#\d+ = ", pf.group(1)), scan[:2000]
+    # day must not appear as a pushed/data filter (it is not in the files)
+    for kind in ("PushedFilters", "DataFilters"):
+        m = re.search(rf"{kind}: \[([^\]]*)\]", scan)
+        assert m is not None and "day" not in m.group(1), scan[:2000]
+
+    want = {tuple(r) for r in full.filter(full.day == target).collect()}
+    got = {tuple(r) for r in pruned.collect()}
+    assert got == want and len(got) > 0
+
+    # anti-pattern control: the same predicate phrased over ts defeats
+    # pruning — PartitionFilters stays empty, every partition is listed
+    bad = spark.read.parquet(root).filter(_F.to_date("ts") == _F.lit(target))
+    bad_scan = bad._jdf.queryExecution().executedPlan().toString()
+    bad_pf = re.search(r"PartitionFilters: \[([^\]]*)\]", bad_scan)
+    assert bad_pf is not None and not re.search(
+        r"day#\d+ = ", bad_pf.group(1)
+    ), bad_scan[:2000]

@@ -29,7 +29,18 @@ The correctness contract is unchanged: the gate compares Spark vs DuckDB
 on the SAME files, so the tier needs no distributional fidelity to the
 driver's generator — only schema fidelity and self-consistency.
 
-Usage: python tools/make_sf1.py [out_dir]   (default: <repo>/testdata_sf1)
+Usage: python tools/make_sf1.py [out_dir] [copies]
+    (defaults: <repo>/testdata_sf1, 10 copies = sf1; 30 copies = sf3 —
+    the round-7 verdict's stretch tier for super-linearity checks on the
+    heavy span/dedup/CC family)
+
+Copy-tag collision note: with ≤10 copies the per-copy token suffix is a
+single digit, and single-character suffixes are concatenation-unambiguous
+(equal suffixed tokens ⇒ equal original token AND equal copy). Beyond 10
+copies the tag zero-pads to a fixed 2 chars for the same property —
+variable-width tags would let ('x1' + '2') collide with ('x' + '12') and
+leak shingles across copies, bending candidate volume super-linear. The
+10-copy tier keeps the round-7 single-digit byte layout.
 """
 
 from __future__ import annotations
@@ -63,6 +74,8 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "testdata_sf1",
     )
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
+    tag = (lambda i: f"{i:02d}") if copies > 10 else (lambda i: str(i))
     con = duckdb.connect()
     for t in SINGLE_COPY:
         d = os.path.join(out, f"{t}.parquet")
@@ -76,7 +89,7 @@ def main() -> None:
         os.makedirs(d, exist_ok=True)
         cols = [r[0] for r in con.execute(
             f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
-        for i in range(COPIES):
+        for i in range(copies):
             sel = ", ".join(
                 f"{c} + {i * COPY_STRIDE} AS {c}" if c in keys else c
                 for c in cols
@@ -99,11 +112,11 @@ def main() -> None:
     keep = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
     d = os.path.join(out, "documents.parquet")
     os.makedirs(d, exist_ok=True)
-    for i in range(COPIES):
+    for i in range(copies):
         suffixed = (
             "array_to_string(list_transform("
             "regexp_split_to_array(text, '[\\t\\n\\x0b\\f\\r ]+'), "
-            f"t -> CASE WHEN t IN ({keep}) THEN t ELSE t || '{i}' END), ' ')"
+            f"t -> CASE WHEN t IN ({keep}) THEN t ELSE t || '{tag(i)}' END), ' ')"
         )
         con.execute(
             f"""
@@ -111,7 +124,7 @@ COPY (
   SELECT doc_id + {i * COPY_STRIDE} AS doc_id,
          {suffixed} AS text,
          lang,
-         source || '_{i}' AS source,
+         source || '_{tag(i)}' AS source,
          CAST(LENGTH({suffixed}) AS BIGINT) AS n_chars
   FROM '{SRC}/documents.parquet'
 ) TO '{d}/part_{i}.parquet' (FORMAT PARQUET)

@@ -1,3 +1,7 @@
+from .partitioned import (  # noqa: F401
+    read_events_day,
+    write_events_day_partitioned,
+)
 from .tables import (  # noqa: F401
     TABLES,
     load_table,
