@@ -391,51 +391,112 @@ def entry(spark: SparkSession) -> DataFrame:
 #   enrichment_join → J1/F3 via dim_broadcast_join + channel_video_metrics
 #     (J3), both head this round (r1-r3 green), displaced by
 #     pack_sequences_bpe.
+# ROUND-8 ROTATION: all 44 round-7 tail queries are promoted back into
+# the head (each earns a CORRECTNESS_r08 row, completing the r7 ∪ r8
+# coverage contract — the promotions include winnowing_fingerprints,
+# remove_duplicate_spans, doc_novelty, source_overlap_matrix, and
+# ann_ivf_topk, whose dataflow was rebuilt this round and so needs a
+# fresh driver row anyway), joined by the new semantic_dedup_capped
+# (first driver row — the mega-cell guard's cross-engine attestation)
+# and 5 keepers from the round-7 head whose dataflow also changed this
+# round or that anchor a family:
+#   channel_video_metrics (flagship; sole gate for the A1/A2/A4 grouped
+#     matrix), duplicate_spans + export_pipeline + tfidf_top_terms
+#     (restructured onto the session-memo artifacts this round),
+#     quota_latch_final (the one query driving the real streaming
+#     engine; its staged-source lifecycle changed this round).
+# The 45 demoted queries below are ALL hash-green in CORRECTNESS_r07.json
+# and re-attested by this round's three-tier GATECHECK replica; each
+# leaves its family covered in the head:
+#   channel_type_classification/final_metrics_struct/language_mode/
+#     language_distribution/channel_by_handle/video_format_flat/
+#     language_fallback_resolution → channel+language formatter family
+#     via channel_video_metrics + channel_format_flat + language_id
+#     (promoted); enrichment_join/semi_join_lookup → J1/J4 via
+#     dim_broadcast_join (promoted);
+#   log_page/pagination_meta/log_level_stats/top_loggers/
+#     recent_level_stats/retention_cleanup → log family via the promoted
+#     rolling_daily_average + the hostile/log pytests (log_page returns
+#     next round under the two-round contract);
+#   daily_usage_windows/key_rotation_round_robin/key_rotation_seeded/
+#     key_usage_rollup/cache_ttl_filter/cache_status_rollup →
+#     ST1/ST2/ST4/ST6 via hourly_usage_windows + key_rotation_least_used
+#     + rate_limit_pacer + retry_schedule (all promoted) +
+#     quota_latch_final (keeper);
+#   user_sessions → sessionization via streaming parity pytests;
+#   distinct_usage_stats → exact distincts inside approx_usage_sketch
+#     (promoted); corpus_curation_funnel/curation_pipeline_v2 → curation
+#     via doc_repetition_stats + doc_text_stats + language_id + redact_pii
+#     (all promoted); doc_fingerprint → §2.8 via duration_parse
+#     (promoted) + winnowing_fingerprints (promoted);
+#   dedup_exact/dedup_minhash_lsh/dedup_simhash/dedup_embedding_cosine/
+#     ngram_jaccard_pairs → dedup family via dedup_connected_components +
+#     benchmark_contamination (promoted) + duplicate_spans (keeper);
+#   bpe_merges → BPE via bpe_fertility + pack_sequences_bpe (promoted);
+#   kmeans_cells/semantic_dedup → clustering via ann_ivf_kmeans +
+#     pq_codes + pq_adc_topk + cluster_balanced_sample (promoted) +
+#     semantic_dedup_capped (new head row, runs the same production
+#     function through BOTH guard layers);
+#   bigram_lm_quality → ranking via tfidf_top_terms (keeper) +
+#     bm25_search + perplexity_buckets + dsir_importance_weights
+#     (promoted); ann_cosine_topk/ann_vectorized_bound → similarity via
+#     ann_ivf_topk (promoted, rebuilt) + pq_adc_topk (promoted);
+#   media_decode_features → multimodal via media_metadata_stats +
+#     media_resize + media_frame_sample (promoted);
+#   set_ops_user_cohorts → §2.7 via batch_union_envelope (promoted);
+#   email_topic_projection → P6/P7 via redact_pii (promoted, same
+#     EMAIL_PATTERN); json_props_metrics → A12/§2.8 via duration_parse +
+#     approx_usage_sketch (promoted); rss_xml_roundtrip → S4/P4 via the
+#     rss_xml pytest suite (sole-source family; returns next round);
+#   events_in_order_window → temporal via events_asof_latest_order
+#     (promoted); revenue_rollup/daily_event_pivot → grouping family via
+#     pricing_summary + channel_video_metrics (keeper).
 _GATE_TAIL = [
-    "dim_broadcast_join",
-    "rolling_daily_average",
-    "key_rotation_least_used",
-    "hourly_usage_windows",
-    "rate_limit_pacer",
-    "retry_schedule",
-    "doc_repetition_stats",
-    "winnowing_fingerprints",
-    "doc_text_stats",
-    "language_id",
-    "redact_pii",
-    "dedup_connected_components",
-    "benchmark_contamination",
-    "remove_duplicate_spans",
-    "doc_novelty",
-    "source_overlap_matrix",
-    "bpe_fertility",
-    "pack_sequences_bpe",
-    "chunk_documents",
-    "split_by_hash",
-    "pack_sequences",
-    "ann_ivf_kmeans",
-    "pq_codes",
-    "pq_adc_topk",
-    "cluster_balanced_sample",
-    "corpus_sample_hash",
-    "stratified_sample",
-    "mixture_temperature_sample",
-    "global_shuffle_shards",
-    "token_budget_allocation",
-    "dsir_importance_weights",
-    "perplexity_buckets",
-    "bm25_search",
-    "ann_ivf_topk",
-    "media_metadata_stats",
-    "media_resize",
-    "media_frame_sample",
-    "video_type_distribution",
-    "duration_parse",
-    "batch_union_envelope",
-    "events_asof_latest_order",
-    "approx_usage_sketch",
-    "channel_format_flat",
-    "pricing_summary",
+    "channel_type_classification",
+    "final_metrics_struct",
+    "language_mode",
+    "language_distribution",
+    "enrichment_join",
+    "semi_join_lookup",
+    "log_page",
+    "pagination_meta",
+    "log_level_stats",
+    "top_loggers",
+    "recent_level_stats",
+    "retention_cleanup",
+    "daily_usage_windows",
+    "key_rotation_round_robin",
+    "key_rotation_seeded",
+    "key_usage_rollup",
+    "cache_ttl_filter",
+    "user_sessions",
+    "distinct_usage_stats",
+    "corpus_curation_funnel",
+    "curation_pipeline_v2",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ngram_jaccard_pairs",
+    "dedup_embedding_cosine",
+    "bpe_merges",
+    "kmeans_cells",
+    "semantic_dedup",
+    "bigram_lm_quality",
+    "ann_cosine_topk",
+    "ann_vectorized_bound",
+    "media_decode_features",
+    "set_ops_user_cohorts",
+    "email_topic_projection",
+    "json_props_metrics",
+    "cache_status_rollup",
+    "rss_xml_roundtrip",
+    "events_in_order_window",
+    "revenue_rollup",
+    "daily_event_pivot",
+    "language_fallback_resolution",
+    "video_format_flat",
+    "channel_by_handle",
 ]
 
 

@@ -6,7 +6,10 @@ steady-state policy), and prints ONE JSON line; full per-query detail
 goes to a file next to the repo's other bench artifacts.
 
 Usage:
-    python tools/bench_duck.py [sf_dir] [out_name] [reps]
+    python tools/bench_duck.py [sf_dir] [out_name] [reps] [query ...]
+
+A trailing query list restricts the run to that subset (the committed
+scale-tier heavy-family passes, e.g. BENCH_DUCK_SF3.json).
 
 Defaults: /root/testdata/sf0.1, BENCH_DUCK.json, 3 reps (min-of-3,
 symmetric with bench.py's per-query rep policy). Round-6 verdict
@@ -43,6 +46,9 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     oracles = entrymod.oracle_sql()
+    only = sys.argv[4:]  # optional query subset (scale-tier heavy passes)
+    if only:
+        oracles = {n: oracles[n] for n in only}
     timings: dict[str, float] = {}
     for name in sorted(oracles):
         best = float("inf")

@@ -2,11 +2,15 @@
 forcing and memo-release policy exactly (noop write, release between
 queries, min of N reps). Usage:
 
-    python tools/time_queries.py <sf_dir> [reps] query [query ...]
+    python tools/time_queries.py [--json OUT.json] <sf_dir> [reps] query [query ...]
+
+--json additionally writes a bench.py-shaped payload (metric/value/
+queries/cold) for committed scale-tier artifacts (e.g. BENCH_SF3.json).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -21,11 +25,16 @@ from youtube_api_batch_process_with_analytics_spark.session import get_spark
 
 
 def main() -> None:
-    sf_dir = sys.argv[1]
-    if sys.argv[2].isdigit():
-        reps, names = int(sys.argv[2]), sys.argv[3:]
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0]
+    if args[1].isdigit():
+        reps, names = int(args[1]), args[2:]
     else:
-        reps, names = 3, sys.argv[2:]
+        reps, names = 3, args[1:]
     spark = get_spark(app_name="time_queries")
     qs = entrymod.queries()
 
@@ -39,6 +48,8 @@ def main() -> None:
             lambda batches: batches, "id long"
         )
     )
+    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in names:
         release_session_frames()
         samples = []
@@ -46,8 +57,25 @@ def main() -> None:
             t0 = time.perf_counter()
             force(qs[name](spark, sf_dir))
             samples.append(round(time.perf_counter() - t0, 3))
+        cold[name] = samples[0]
+        timings[name] = min(samples)
         print(f"{name:32s} min={min(samples):7.3f}  reps={samples}", flush=True)
     release_session_frames()
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "metric": "subset_total",
+                    "value": round(sum(timings.values()), 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "cold": cold,
+                    "sf_dir": sf_dir,
+                    "reps": reps,
+                },
+                f,
+                indent=1,
+            )
     spark.stop()
 
 
