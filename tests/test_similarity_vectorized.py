@@ -96,3 +96,34 @@ def test_vectorized_bound_attestation_green(spark, sf_dir):
     for r in rows:
         assert r.n_ranked == TOP_K, r
         assert r.vec_within_bound is True, r
+
+
+def test_ivf_gemm_shortlist_survives_duplicate_vector_tie_class(spark, tmp_path):
+    """Round-8 review finding: a batch whose candidates are one big class
+    of IDENTICAL vectors (cos = 1.0 with the query for every member —
+    the exact shape replicated-embedding corpora produce) must shortlist
+    the class's LOWEST vec_ids, because that is how the exact path and
+    the oracle break rounded-cosine ties. An unrounded argpartition with
+    no id tie-break keeps arbitrary class members. 30 identical vectors
+    in ONE file (one Arrow batch) > keep=10 forces the selection to
+    actually decide."""
+    from youtube_api_batch_process_with_analytics_spark.operators.similarity import (
+        EMB_DIM,
+        IVF_TOP_K,
+        ann_ivf_topk,
+    )
+
+    base = [float((d % 7) + 1) for d in range(EMB_DIM)]
+    rows = [(i, base, 1) for i in range(31)]  # vec_id 0 is the query
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+
+    got = ann_ivf_topk(spark, str(tmp_path)).collect()
+    ref = ann_ivf_topk(spark, str(tmp_path), gemm_shortlist=False).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+    by_rank = {r["rank"]: r["neighbor_id"] for r in got}
+    # the tie class must resolve to the lowest non-query ids, in order
+    assert [by_rank[k] for k in range(1, IVF_TOP_K + 1)] == [1, 2, 3, 4, 5]

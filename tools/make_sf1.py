@@ -75,7 +75,11 @@ def main() -> None:
         "testdata_sf1",
     )
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
-    tag = (lambda i: f"{i:02d}") if copies > 10 else (lambda i: str(i))
+    # fixed-width tags keep suffixed tokens concatenation-unambiguous at
+    # ANY copy count (f"{i:02d}" alone breaks again at copies > 100);
+    # ≤10 copies keeps the historical single-digit byte layout
+    width = len(str(copies - 1))
+    tag = (lambda i: str(i)) if copies <= 10 else (lambda i: f"{i:0{width}d}")
     con = duckdb.connect()
     for t in SINGLE_COPY:
         d = os.path.join(out, f"{t}.parquet")

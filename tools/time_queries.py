@@ -28,13 +28,19 @@ def main() -> None:
     args = sys.argv[1:]
     json_out = None
     if args and args[0] == "--json":
+        if len(args) < 2:
+            sys.exit("usage: time_queries.py [--json OUT] sf_dir [reps] query...")
         json_out = args[1]
         args = args[2:]
+    if len(args) < 2:
+        sys.exit("usage: time_queries.py [--json OUT] sf_dir [reps] query...")
     sf_dir = args[0]
     if args[1].isdigit():
         reps, names = int(args[1]), args[2:]
     else:
         reps, names = 3, args[1:]
+    if reps < 1 or not names:
+        sys.exit("need reps >= 1 and at least one query name")
     spark = get_spark(app_name="time_queries")
     qs = entrymod.queries()
 

@@ -239,13 +239,18 @@ def _ivf_probed(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
     )
 
 
-# GEMM-shortlist slack beyond the final k: the kernel orders candidates by
-# numpy-GEMM cosine, whose float summation order can differ from the
-# fold-exact rerank score by ~1e-12 relative. A true top-k candidate can
-# only fall outside a batch's shortlist if > slack candidates sit within
-# that 1e-12 band of each other — not a realizable tie pattern on real
-# embeddings; the exact-vs-GEMM differential pytest pins it on the
-# fixture tiers.
+# GEMM-shortlist slack beyond the final k. The kernel SELECTS under the
+# SAME total order the exact rerank ranks by — (cosine rounded to 6 dp
+# DESC, vec_id ASC) — so the union of per-batch top-(k+slack) provably
+# contains the global top-k under that order (true for any total order),
+# even when a whole batch is one tie class of identical duplicate
+# vectors (the replicated-embedding fixture tiers produce exactly that;
+# an unrounded argpartition with no id tie-break could keep arbitrary
+# class members and drop the lowest-id winners — round-8 review
+# finding). The slack now only absorbs the measure-zero case where
+# numpy's and Spark's 6-dp roundings disagree on a value sitting within
+# ~1e-12 of a rounding boundary (banker's vs HALF_UP), plus the
+# self-pair slot.
 IVF_GEMM_SLACK = 5
 
 
@@ -290,6 +295,12 @@ def ann_ivf_topk(
     import pandas as pd
 
     prows = probed.select("query_id", "cell", "qvec").collect()
+    # a NULL-label cell can be probed (its centroid exists), but NULL
+    # never equals NULL in the candidate equi-join, so the expression
+    # path yields zero candidates from it — mirror that by excluding it
+    # from the kernel instead of crashing sorted() on None (review
+    # finding: hostile NULL-label rows)
+    prows = [r for r in prows if r["cell"] is not None]
     if not prows:  # no serving queries in this corpus — trivially empty
         return ann_ivf_topk(spark, sf_dir, gemm_shortlist=False)
     by_cell: dict = {}
@@ -317,13 +328,30 @@ def ann_ivf_topk(
                 continue
             frames = []
             for cell, sub in pdf.groupby("label", sort=False):
+                if cell not in cellq:
+                    continue  # unprobed (or NULL-key) cell in this batch
                 ids, qmat, qnrm = cellq[cell]
                 v = np.array(sub["embedding"].tolist(), dtype=np.float64)
                 vn = np.linalg.norm(v, axis=1)
                 cos = (v @ qmat.T) / np.outer(vn, qnrm)  # (batch, nq)
                 nb, nq = cos.shape
+                n_ids_col = sub["vec_id"].to_numpy()
                 if nb > keep:
-                    rows = np.argpartition(-cos, keep - 1, axis=0)[:keep]
+                    # select under the rerank's own total order —
+                    # (round6(cos) DESC, vec_id ASC) — via lexsort (last
+                    # key is primary); ties inside a duplicate-vector
+                    # class then keep exactly the lowest ids, matching
+                    # the exact path
+                    order = np.lexsort(
+                        (
+                            np.broadcast_to(
+                                n_ids_col[:, np.newaxis], cos.shape
+                            ),
+                            -np.round(cos, 6),
+                        ),
+                        axis=0,
+                    )
+                    rows = order[:keep]
                 else:
                     rows = np.repeat(np.arange(nb)[:, np.newaxis], nq, 1)
                 cols = np.repeat(

@@ -157,6 +157,10 @@ def duplicate_spans(
         hits = hits.select("doc_id", "pos")
     else:
         if toks is None:
+            if docs is None:
+                raise ValueError(
+                    "pass docs, or the memoized toks/dup_fps/hits artifacts"
+                )
             toks = _toks_df(docs)
         hits = _dup_hits(_grams(toks, k), keep_canonical=True, dup_fps=dup_fps)
     return _merge_islands(hits, k).select(
@@ -285,6 +289,10 @@ def remove_duplicate_spans(
     ``filter`` lambda over the token array.
     """
     if toks is None:
+        if docs is None:
+            raise ValueError(
+                "pass docs, or the memoized toks (+ dup_fps/hits) artifacts"
+            )
         toks = _toks_df(docs)
     if hits is not None:
         noncanon = hits.filter(F.col("doc_id") != F.col("_mn")).select(
@@ -497,6 +505,8 @@ def doc_novelty(
     if grain is not None:
         per = grain.select("fp", "doc_id", "cnt")
     else:
+        if docs is None:
+            raise ValueError("pass docs, or the memoized grain artifact")
         grams = _grams(_toks_df(docs), k)
         per = grams.groupBy("fp", "doc_id").agg(F.count("*").alias("cnt"))
     # (fp, doc_id) is unique per row, so the struct min is decided by
@@ -575,6 +585,8 @@ def source_overlap_matrix(
     if grain is not None:
         grams = grain.select("source", "fp")
     else:
+        if docs is None:
+            raise ValueError("pass docs, or the memoized grain artifact")
         grams = _grams(_toks_df(docs, "source"), k, "source").select(
             "source", "fp"
         )

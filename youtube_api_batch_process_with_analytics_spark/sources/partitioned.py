@@ -61,4 +61,6 @@ def read_events_day(
         )
     if day is not None:
         return df.filter(F.col("day") == F.lit(day))
+    if day_to is not None:  # open-ended "everything up to X"
+        return df.filter(F.col("day") <= F.lit(day_to))
     return df

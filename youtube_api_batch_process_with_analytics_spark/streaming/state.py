@@ -81,7 +81,11 @@ def _latch_src_acquire(spark, sf_dir: str, events: DataFrame) -> str:
     # would mean 32 Python state workers for a handful of rows each.
     # Production sizing follows key cardinality, not the session's
     # relational default.
-    events.coalesce(4).write.mode("overwrite").parquet(staged)
+    try:
+        events.coalesce(4).write.mode("overwrite").parquet(staged)
+    except BaseException:
+        shutil.rmtree(staged, ignore_errors=True)  # no orphaned half-write
+        raise
     with _LATCH_LOCK:
         src = _LATCH_SRC_CACHE.get(key)
         if src is None:
@@ -350,12 +354,15 @@ def quota_latch_final(spark, sf_dir: str) -> DataFrame:
     # run itself (fresh checkpoint, state stores, memory sink) stays
     # fully per-invocation. Cleared by memo.release_session_frames()
     # (deferred past this run if a release races it — _latch_src_acquire).
-    src = _latch_src_acquire(spark, sf_dir, events)
-    stream = spark.readStream.schema(events.schema).parquet(src)
     name = "latch_gate_" + uuid.uuid4().hex[:8]
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # acquire LAST and enter the guarded region immediately: anything
+    # thrown between acquire and the finally would leak the in-use
+    # count and pin the staged dir forever (round-8 review finding)
+    src = _latch_src_acquire(spark, sf_dir, events)
     try:
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         q = (
             quota_latch_stream(stream, quota=LATCH_GATE_QUOTA)
             .writeStream.format("memory")
