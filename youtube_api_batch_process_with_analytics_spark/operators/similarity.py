@@ -514,7 +514,20 @@ def _vectorized_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels = pdf["label"].to_numpy()
             nb, nq = cos.shape
             if nb > keep:
-                rows = np.argpartition(-cos, keep - 1, axis=0)[:keep]
+                # select under the final ranking's own total order —
+                # (round6(cos) DESC, neighbor_id ASC) — so a batch-sized
+                # class of identical duplicate vectors keeps exactly the
+                # lowest ids the downstream window ranks (same round-8
+                # fix as the IVF shortlist; raw-cos argpartition kept
+                # arbitrary tie-class members)
+                order = np.lexsort(
+                    (
+                        np.broadcast_to(n_ids[:, np.newaxis], cos.shape),
+                        -np.round(cos, 6),
+                    ),
+                    axis=0,
+                )
+                rows = order[:keep]
             else:
                 rows = np.repeat(np.arange(nb)[:, np.newaxis], nq, 1)
             cols = np.repeat(np.arange(nq)[np.newaxis, :], rows.shape[0], 0)
