@@ -208,7 +208,7 @@ def test_tokenizer_parity_spark_vs_duckdb(spark, duck):
     check()
 
 
-def test_tfidf_hot_term_join_is_salted(spark, tmp_path):
+def test_tfidf_join_default_plain_salted_escape_hatch(spark, tmp_path):
     """Round 8: the DEFAULT tf ⋈ df join is a PLAIN equi-join — the df
     side is vocabulary-sized and AQE broadcasts it at runtime, which is
     skew-immune by construction (no reducer for a hot stopword to land

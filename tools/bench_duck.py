@@ -48,6 +48,13 @@ def main() -> None:
     oracles = entrymod.oracle_sql()
     only = sys.argv[4:]  # optional query subset (scale-tier heavy passes)
     if only:
+        unknown = [n for n in only if n not in oracles]
+        if unknown:
+            sys.exit(
+                "unknown query name(s): "
+                + ", ".join(unknown)
+                + f" — pick from: {', '.join(sorted(oracles))}"
+            )
         oracles = {n: oracles[n] for n in only}
     timings: dict[str, float] = {}
     for name in sorted(oracles):

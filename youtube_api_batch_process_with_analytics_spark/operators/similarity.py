@@ -97,6 +97,23 @@ def _as_double_array(col: str):
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
+def _np_round6_half_up(a):
+    """6-dp rounding with Spark's HALF_UP tie rule, vectorized in numpy.
+
+    numpy's ``np.round`` is banker's (HALF_EVEN); Spark's ``F.round`` is
+    HALF_UP. A cosine sitting exactly on a 0.5e-6 boundary would therefore
+    order differently in the GEMM shortlist than in the fold-exact rerank,
+    and with more than ``IVF_GEMM_SLACK`` such values in one batch the
+    shortlist could evict a true top-k candidate before the rerank sees it
+    (round-8 advisor finding). Emulating HALF_UP here makes the kernel's
+    total order match the rerank's exactly, so the slack is purely the
+    self-pair allowance.
+    """
+    import numpy as np
+
+    return np.floor(np.abs(a) * 1e6 + 0.5) * np.sign(a) / 1e6
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for the query subset (vec_id % 50 == 0).
 
@@ -247,10 +264,10 @@ def _ivf_probed(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
 # vectors (the replicated-embedding fixture tiers produce exactly that;
 # an unrounded argpartition with no id tie-break could keep arbitrary
 # class members and drop the lowest-id winners — round-8 review
-# finding). The slack now only absorbs the measure-zero case where
-# numpy's and Spark's 6-dp roundings disagree on a value sitting within
-# ~1e-12 of a rounding boundary (banker's vs HALF_UP), plus the
-# self-pair slot.
+# finding). Since round 9 the kernel rounds with ``_np_round6_half_up``
+# (Spark's HALF_UP rule, not numpy's banker's), so the shortlist's total
+# order matches the rerank's exactly and the slack is purely the
+# self-pair allowance.
 IVF_GEMM_SLACK = 5
 
 
@@ -341,13 +358,14 @@ def ann_ivf_topk(
                     # (round6(cos) DESC, vec_id ASC) — via lexsort (last
                     # key is primary); ties inside a duplicate-vector
                     # class then keep exactly the lowest ids, matching
-                    # the exact path
+                    # the exact path. HALF_UP rounding so the order is
+                    # identical to Spark's F.round, not banker's.
                     order = np.lexsort(
                         (
                             np.broadcast_to(
                                 n_ids_col[:, np.newaxis], cos.shape
                             ),
-                            -np.round(cos, 6),
+                            -_np_round6_half_up(cos),
                         ),
                         axis=0,
                     )
@@ -523,7 +541,7 @@ def _vectorized_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                 order = np.lexsort(
                     (
                         np.broadcast_to(n_ids[:, np.newaxis], cos.shape),
-                        -np.round(cos, 6),
+                        -_np_round6_half_up(cos),
                     ),
                     axis=0,
                 )
@@ -536,7 +554,7 @@ def _vectorized_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "query_id": ids[cols.ravel()],
                     "neighbor_id": n_ids[rows.ravel()],
                     "label": labels[rows.ravel()],
-                    "cosine": np.round(cos[rows, cols].ravel(), 6),
+                    "cosine": _np_round6_half_up(cos[rows, cols].ravel()),
                 }
             )
 
