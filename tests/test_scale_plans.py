@@ -102,10 +102,15 @@ def test_cc_survivorship_has_no_static_broadcast_hint(spark, sf_dir):
 def test_lsh_band_join_hot_bucket_splits_under_aqe(spark, tmp_path):
     """A hot LSH band bucket (600 near-identical docs hash to one
     (band_idx, band_key)) is the canonical skew hazard of the candidate
-    self-join. With AQE skew-join on and fixture-scale thresholds, the
-    executed plan must show the skewed partition actually split
-    (SortMergeJoin(skew=true)) — proving the operator's join is the
-    AQE-splittable shape, not a hand-rolled construct AQE can't touch."""
+    self-join. Since round 9 the DEFAULT path's structural defense is the
+    bucket cap (pool ≤ cap per group → |bucket|·cap work, see
+    test_lsh_bucket_cap_bounds_hot_bucket); the window pass that
+    implements it sits between the exchange and the join, which takes the
+    plan out of OptimizeSkewedJoin's SMJ(sort(shuffle)) match. The
+    UNGUARDED escape hatch (bucket_cap=None) must therefore remain the
+    AQE-splittable shape: with skew-join forced and fixture-scale
+    thresholds, its executed plan must show the skewed partition actually
+    split (SortMergeJoin(skew=true))."""
     import random
 
     from youtube_api_batch_process_with_analytics_spark.operators.dedup import (
@@ -147,7 +152,7 @@ def test_lsh_band_join_hot_bucket_splits_under_aqe(spark, tmp_path):
     spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        out = dedup_minhash_lsh(spark, str(tmp_path))
+        out = dedup_minhash_lsh(spark, str(tmp_path), bucket_cap=None)
         rows = out.collect()
         # every hot pair is an exact duplicate → jaccard 1.0 → all survive
         assert len(rows) >= 600 * 599 // 2
@@ -159,6 +164,72 @@ def test_lsh_band_join_hot_bucket_splits_under_aqe(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lsh_bucket_cap_bounds_hot_bucket(spark, tmp_path):
+    """Hostile boilerplate corpus (round-8 verdict task #1): 50% of the
+    docs are byte-identical, so every band bucket they share holds 250
+    docs with ONE full signature — the degenerate class that owes K²
+    candidate pairs unguarded. Pin that with a small cap the pair volume
+    is linear (each pair's left element ranks within the cap lowest ids:
+    Σ_{i≤cap} (K−i) pairs, not K(K−1)/2), that every duplicate still
+    pairs with the class MINIMUM (rank 1 — what connected-components
+    survivorship consumes), and that the default 4096 cap reproduces the
+    unguarded output bit-for-bit on a below-cap corpus."""
+    import random
+
+    from youtube_api_batch_process_with_analytics_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    k_hot, cap = 250, 3
+    hot = [
+        (i, "omega psi chi phi upsilon tau sigma rho pi omicron " * 4,
+         "en", "web", 100)
+        for i in range(k_hot)
+    ]
+    rng = random.Random(13)
+    cold = [
+        (1000 + i,
+         " ".join(rng.choice("abcdefghijklmnop") + str(rng.randint(0, 9999))
+                  for _ in range(12)),
+         "en", "web", 100)
+        for i in range(k_hot)
+    ]
+    spark.createDataFrame(
+        hot + cold,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(2).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    capped = dedup_minhash_lsh(spark, str(tmp_path), bucket_cap=cap)
+    hot_pairs = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in capped.collect()
+        if r["doc_id_a"] < 1000 and r["doc_id_b"] < 1000
+    }
+    # linear envelope: left elements only from the cap lowest ids
+    expected = {
+        (a, b) for a in range(cap) for b in range(a + 1, k_hot)
+    }
+    assert hot_pairs == expected, (len(hot_pairs), len(expected))
+    assert len(hot_pairs) == sum(k_hot - i for i in range(1, cap + 1))
+    # survivorship: every duplicate pairs with the class minimum (id 0)
+    assert all((0, b) in hot_pairs for b in range(1, k_hot))
+
+    # exactness below the cap: default guard == unguarded, bit-for-bit
+    default = sorted(
+        map(tuple, dedup_minhash_lsh(spark, str(tmp_path)).collect())
+    )
+    unguarded = sorted(
+        map(
+            tuple,
+            dedup_minhash_lsh(spark, str(tmp_path), bucket_cap=None).collect(),
+        )
+    )
+    assert default == unguarded
+    assert len(default) >= k_hot * (k_hot - 1) // 2
 
 
 def test_pack_segmented_matches_plain_and_splits_hot_source(spark):

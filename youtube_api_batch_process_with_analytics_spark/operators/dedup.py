@@ -23,7 +23,7 @@ would swap in xxhash64 (cheaper); the plumbing is identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table, spread, spread_shuffled
@@ -148,7 +148,36 @@ def _minhash_cols():
     ]
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Structural band-bucket cap (round-8 verdict: "the last unguarded
+# quadratic"). A boilerplate-heavy web corpus can put K near-identical
+# documents into ONE band bucket, and the bucket self-join then owes K²
+# candidate rows before verification. The guard copies semantic_dedup's
+# mega-cell pattern (clustering.py): buckets above the cap are
+# sub-bucketed by the FULL minhash signature (docs that agree on all 8
+# permutations — the degenerate boilerplate class — stay together; docs
+# that merely collide on one band separate), and within every pairing
+# group the LEFT side of the pair join is restricted to the group's
+# ``bucket_cap`` lowest doc_ids. Buckets of size ≤ cap are EXACT (the
+# rank covers every pair's left element), so gated-fixture hashes are
+# unchanged at the default cap — the largest observed bucket is 3 at
+# sf0.01 and ~copies-sized at sf1/sf3, vs the 4096 default. A degenerate
+# K-doc class costs K·cap candidate rows (linear), and every duplicate
+# still pairs with the class MINIMUM (rank 1), so connected-components
+# survivorship over the pair graph keeps the exact canonical assignment.
+LSH_BUCKET_CAP = 4096
+# Gate-variant knob: at sf0.01 the largest band bucket holds 3 docs with
+# one shared signature and several 2-doc buckets hold 2 DISTINCT
+# signatures, so cap=1 demonstrably fires BOTH layers on the fixture —
+# multi-signature buckets split into singleton sub-buckets (layer 1) and
+# the 3-doc single-signature bucket trims its pair pool to the lowest id
+# (layer 2) — while the surviving (min, other) pairs still pass Jaccard
+# verification.
+LSH_GATE_CAP = 1
+
+
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = LSH_BUCKET_CAP
+) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, Jaccard-verified.
 
     Pipeline: shingle (map) → 8-permutation minhash signature (map) →
@@ -156,7 +185,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band_idx, band_key) for candidate pairs (the ONLY shuffle, keyed on
     band buckets — no O(n²)) → distinct pairs → verify true Jaccard on the
     shingle arrays → threshold filter.
+
+    ``bucket_cap`` (see ``LSH_BUCKET_CAP``) bounds the self-join inside
+    any one band bucket structurally: oversized buckets sub-bucket by the
+    full signature and each pair's LEFT element must rank within the
+    group's ``bucket_cap`` lowest doc_ids. Exact whenever every bucket is
+    ≤ cap; linear |bucket|·cap candidate work on degenerate boilerplate
+    classes. ``None`` restores the unguarded form. Both window passes
+    share the bucket-key exchange (the count needs no sort; the rank is
+    a WindowGroupLimit pre-filtered sort), and the pair join reuses the
+    same partitioning.
     """
+    if bucket_cap is not None and bucket_cap < 1:
+        raise ValueError("bucket_cap must be >= 1 (or None to disable)")
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingled(docs)
     sig = sh.select("doc_id", "shingles", *_minhash_cols())
@@ -168,8 +209,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
-    banded = sig.select("doc_id", *band_exprs).select(
+    sig_key = F.md5(
+        F.concat_ws("|", *[F.col(f"h{p}") for p in range(N_PERMUTATIONS)])
+    ).alias("sig_key")
+    banded = sig.select("doc_id", sig_key, *band_exprs).select(
         "doc_id",
+        "sig_key",
         F.explode(
             F.array(
                 *[
@@ -180,15 +225,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "b.band_idx", "b.band_key")
+    ).select("doc_id", "sig_key", "b.band_idx", "b.band_key")
 
-    left = banded.alias("l")
-    right = banded.alias("r")
+    if bucket_cap is None:
+        pool = banded.withColumn("sub", F.lit("-"))
+        full = pool
+    else:
+        # layer 1: per-bucket size via a no-sort count window (the bucket
+        # key space is corpus-sized — a broadcast join on it would not
+        # scale, unlike semantic_dedup's k-sized cell map); oversized
+        # buckets key their pairing groups by the full signature.
+        w_cnt = Window.partitionBy("band_idx", "band_key")
+        full = banded.withColumn(
+            "sub",
+            F.when(
+                F.count("*").over(w_cnt) > bucket_cap, F.col("sig_key")
+            ).otherwise(F.lit("-")),
+        )
+        # layer 2: the pair join's left pool is each group's bucket_cap
+        # lowest doc_ids (rank ≤ cap plans as WindowGroupLimit — only
+        # ≤ cap rows per group per map partition reach the sort).
+        w_rn = Window.partitionBy("band_idx", "band_key", "sub").orderBy(
+            F.col("doc_id").asc()
+        )
+        pool = (
+            full.withColumn("_rn", F.row_number().over(w_rn))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
+
+    left = pool.alias("l")
+    right = full.alias("r")
     candidates = (
         left.join(
             right,
             (F.col("l.band_idx") == F.col("r.band_idx"))
             & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.sub") == F.col("r.sub"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(
@@ -245,6 +318,77 @@ candidates AS (
   FROM banded l JOIN banded r
     ON l.band_idx = r.band_idx AND l.band_key = r.band_key
    AND l.doc_id < r.doc_id
+)
+SELECT c.doc_id_a, c.doc_id_b,
+       ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+FROM candidates c
+JOIN sh a ON c.doc_id_a = a.doc_id
+JOIN sh b ON c.doc_id_b = b.doc_id
+WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(a.shingles || b.shingles)), 6)
+      >= {JACCARD_THRESHOLD}
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine attestation of the LSH band-bucket guard (round-8
+    verdict task #1, the ``semantic_dedup_capped`` precedent): the
+    default-cap gate row only exercises the regime where the guard never
+    fires (every fixture bucket is far below 4096). This variant runs the
+    SAME production function with ``LSH_GATE_CAP`` small enough that the
+    fixture's multi-doc buckets are all oversized — multi-signature
+    buckets split into signature sub-buckets AND the rank cap trims the
+    single-signature 3-doc bucket's pool — against a DuckDB oracle that
+    encodes the identical sub-bucket + lowest-id rank-cap semantics, so
+    the guarded path gets the same hash-level verification as the exact
+    path."""
+    return dedup_minhash_lsh(spark, sf_dir, bucket_cap=LSH_GATE_CAP)
+
+
+ORACLE_DEDUP_MINHASH_LSH_CAPPED = f"""
+WITH {_DUCK_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id, shingles,
+         {", ".join(_duck_minhash(p) for p in range(N_PERMUTATIONS))}
+  FROM sh
+),
+banded_wide AS (
+  SELECT doc_id,
+         md5(h0 || '|' || h1) AS band0,
+         md5(h2 || '|' || h3) AS band1,
+         md5(h4 || '|' || h5) AS band2,
+         md5(h6 || '|' || h7) AS band3,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3 || '|' ||
+             h4 || '|' || h5 || '|' || h6 || '|' || h7) AS sig_key
+  FROM sig
+),
+banded AS (
+  SELECT doc_id, sig_key, 0 AS band_idx, band0 AS band_key FROM banded_wide
+  UNION ALL SELECT doc_id, sig_key, 1, band1 FROM banded_wide
+  UNION ALL SELECT doc_id, sig_key, 2, band2 FROM banded_wide
+  UNION ALL SELECT doc_id, sig_key, 3, band3 FROM banded_wide
+),
+subbed AS (
+  SELECT doc_id, band_idx, band_key,
+         CASE WHEN COUNT(*) OVER (PARTITION BY band_idx, band_key)
+                   > {LSH_GATE_CAP}
+              THEN sig_key ELSE '-' END AS sub
+  FROM banded
+),
+pool AS (
+  SELECT doc_id, band_idx, band_key, sub FROM (
+    SELECT subbed.*, ROW_NUMBER() OVER (
+      PARTITION BY band_idx, band_key, sub ORDER BY doc_id) AS rn
+    FROM subbed
+  ) WHERE rn <= {LSH_GATE_CAP}
+),
+candidates AS (
+  SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
+  FROM pool l JOIN subbed r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.sub = r.sub AND l.doc_id < r.doc_id
 )
 SELECT c.doc_id_a, c.doc_id_b,
        ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
@@ -653,6 +797,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Non-reference extension (training-pipeline dedup); oracle is a DuckDB
     WITH RECURSIVE reachability query over the identical pair CTE.
+
+    The pair graph inherits dedup_minhash_lsh's band-bucket guard (round
+    9): inside a capped group every member still pairs with the group's
+    rank-1 MINIMUM id, so a degenerate boilerplate class stays ONE
+    component with the exact canonical (the star around the minimum
+    replaces the clique — same closure, |group|·cap edges instead of
+    |group|²). Only pairs whose sole path crossed sub-buckets of an
+    oversized bucket can split a component — the same declared recall
+    trade as the guard itself. At gated tiers no bucket exceeds the cap,
+    so the oracle's uncapped recursive CTE is identical.
     """
     # Drain caches leaked by a previous invocation's returned plan (the final
     # ``comp`` must stay persisted until the caller consumes the result, so
@@ -885,6 +1039,7 @@ ORDER BY doc_id, bench_id
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
     "dedup_simhash": dedup_simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -895,6 +1050,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "dedup_minhash_lsh_capped": ORACLE_DEDUP_MINHASH_LSH_CAPPED,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
