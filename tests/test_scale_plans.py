@@ -436,6 +436,76 @@ def test_value_hash_invariant_to_input_layout(spark, sf_dir, tmp_path):
         assert ha == hb, f"{name}: layout-dependent result"
 
 
+def test_retention_drop_days_matches_gated_query(spark, sf_dir, tmp_path):
+    """S8 retention composed end-to-end on the day-partitioned layout
+    (round-8 verdict task #3): after `retention_drop_days`, (a) the
+    surviving table is EXACTLY the keep-side of the gated
+    `retention_cleanup` query — same per-level counts, and the audit's
+    kept/deleted totals equal the query's sums; (b) the delete touched
+    only pruned directories — every untouched day's files are
+    byte-identical (same names, sizes, mtimes), dropped days are gone,
+    and exactly one boundary day was rewritten."""
+    import os
+
+    from youtube_api_batch_process_with_analytics_spark.operators.logs import (
+        retention_cleanup,
+    )
+    from youtube_api_batch_process_with_analytics_spark.sources import (
+        load_table,
+        write_events_day_partitioned,
+    )
+    from youtube_api_batch_process_with_analytics_spark.sources.partitioned import (
+        retention_drop_days,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    root = str(tmp_path / "events_byday")
+    write_events_day_partitioned(events, root)
+
+    def _files(d):
+        p = os.path.join(root, d)
+        return sorted(
+            (f, os.path.getsize(os.path.join(p, f)),
+             os.path.getmtime(os.path.join(p, f)))
+            for f in os.listdir(p)
+        )
+
+    before = {
+        d: _files(d) for d in os.listdir(root) if d.startswith("day=")
+    }
+
+    gated = {
+        r["level"]: (r["kept_count"], r["deleted_count"])
+        for r in retention_cleanup(spark, sf_dir, days=7).collect()
+    }
+    audit = retention_drop_days(spark, root, days=7)
+
+    # (a) audit totals == the gated query's keep/delete sums
+    assert audit["kept"] == sum(k for k, _ in gated.values())
+    assert audit["deleted"] == sum(d for _, d in gated.values())
+    # the surviving table IS the keep-side: per-level counts match
+    survivors = (
+        spark.read.parquet(root)
+        .filter(F.col("ts").isNotNull())
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    assert {r["event_type"]: r["count"] for r in survivors} == {
+        lvl: k for lvl, (k, _) in gated.items() if k > 0
+    }
+
+    # (b) the pass touched only pruned directories
+    assert audit["dropped_days"], "fixture must contain expired days"
+    assert len(audit["rewritten_days"]) <= 1
+    for d in audit["dropped_days"]:
+        assert not os.path.exists(os.path.join(root, d))
+    for d in audit["untouched_days"]:
+        assert before[d] == _files(d), f"untouched partition {d} changed"
+    for d in audit["rewritten_days"]:
+        assert before[d] != _files(d)
+
+
 def test_day_partitioned_events_scan_prunes_partitions(spark, sf_dir, tmp_path):
     """The 100-TB events layout (sources/partitioned.py): a day predicate
     on the partition column must compile to PartitionFilters on the file

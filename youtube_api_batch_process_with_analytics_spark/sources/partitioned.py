@@ -44,6 +44,116 @@ def write_events_day_partitioned(events: DataFrame, out_dir: str) -> None:
     ).partitionBy("day").parquet(out_dir)
 
 
+def retention_drop_days(
+    spark: SparkSession, root: str, days: int = 7
+) -> dict:
+    """S8 retention as a PARTITION-LEVEL pass over the day-partitioned
+    layout (round-8 verdict task #3; reference parity:
+    ``cleanup_old_logs``, sqlite_logger.py:317-350, a row-level
+    ``DELETE WHERE timestamp < cutoff`` + VACUUM).
+
+    Same retention predicate as the gated ``retention_cleanup`` query
+    (keep ``ts >= max(ts) − days``), executed the way a 100-TB events
+    table actually does it:
+
+    1. days strictly OLDER than the cutoff's calendar day are dropped as
+       whole directories — a metadata delete, no row is ever read;
+    2. the single BOUNDARY day (the one the cutoff timestamp falls
+       inside) is the only partition rewritten: its survivors are staged
+       to a sibling directory and swapped in (on Delta/Iceberg this pass
+       is ``DELETE WHERE`` + ``VACUUM``; on a filesystem layout it is
+       stage-and-rename, never overwrite-while-reading);
+    3. newer days — the overwhelming majority of a production table —
+       are never rewritten: files bit-identical after the pass (the audit
+       row counts scan them column-free; a metastore-backed table would
+       take even those from partition statistics).
+
+    The NULL-day partition (rows with no ``ts``) has no age and is left
+    in place, mirroring ``retention_cleanup``'s exclusion of NULL-ts rows
+    from retention accounting.
+
+    Returns the audit dict the caller cross-checks against the gated
+    query: kept/deleted row counts plus which directories were dropped,
+    rewritten, and left untouched. The only driver-side data are the
+    1-row max(ts) anchor and per-partition counts — bounded regardless
+    of corpus size.
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(root)
+    anchor = df.agg(F.max("ts").alias("max_ts")).collect()[0]["max_ts"]
+    if anchor is None:  # no aged rows at all — nothing to retire
+        return {
+            "kept": 0,
+            "deleted": 0,
+            "dropped_days": [],
+            "rewritten_days": [],
+            "untouched_days": [],
+        }
+    cutoff_ts = anchor - _dt.timedelta(days=days)
+    cutoff_day = cutoff_ts.date()
+
+    day_dirs = sorted(
+        d for d in os.listdir(root) if d.startswith("day=")
+    )
+
+    def _day_of(dirname: str):
+        val = dirname.split("=", 1)[1]
+        if val == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        return _dt.date.fromisoformat(val)
+
+    dropped, rewritten, untouched = [], [], []
+    kept = deleted = 0
+    for d in day_dirs:
+        day = _day_of(d)
+        path = os.path.join(root, d)
+        if day is None:
+            untouched.append(d)  # no age: excluded from accounting
+            continue
+        if day < cutoff_day:
+            # fully-expired partition: metadata drop, rows never read
+            deleted += spark.read.parquet(path).count()
+            shutil.rmtree(path)
+            dropped.append(d)
+        elif day == cutoff_day:
+            # the one partition the cutoff timestamp bisects: stage the
+            # survivors, then swap the directory (atomic on a POSIX fs)
+            part = spark.read.parquet(path)
+            n_total = part.count()
+            staging = os.path.join(root, f"_retention_staging_{d}")
+            # cast the literal to the column's own timestamp flavor —
+            # the layout round-trips TIMESTAMP_NTZ on some fixture
+            # encodings, and an uncast (tz-aware) literal comparison
+            # would fail analysis there
+            cutoff_lit = F.lit(cutoff_ts).cast(
+                part.schema["ts"].dataType.simpleString()
+            )
+            survivors = part.filter(F.col("ts") >= cutoff_lit)
+            survivors.write.mode("overwrite").parquet(staging)
+            n_kept = spark.read.parquet(staging).count()
+            shutil.rmtree(path)
+            # drop the _SUCCESS marker so the swapped dir holds only data
+            marker = os.path.join(staging, "_SUCCESS")
+            if os.path.exists(marker):
+                os.remove(marker)
+            os.rename(staging, path)
+            kept += n_kept
+            deleted += n_total - n_kept
+            rewritten.append(d)
+        else:
+            kept += spark.read.parquet(path).count()
+            untouched.append(d)
+    return {
+        "kept": kept,
+        "deleted": deleted,
+        "dropped_days": dropped,
+        "rewritten_days": rewritten,
+        "untouched_days": untouched,
+    }
+
+
 def read_events_day(
     spark: SparkSession,
     root: str,
