@@ -451,52 +451,119 @@ def entry(spark: SparkSession) -> DataFrame:
 #   events_in_order_window → temporal via events_asof_latest_order
 #     (promoted); revenue_rollup/daily_event_pivot → grouping family via
 #     pricing_summary + channel_video_metrics (keeper).
+# ROUND-9 ROTATION: the 45 round-8 tail queries promote back into the
+# head (completing the r8 ∪ r9 two-round coverage contract — the
+# promotions include dedup_minhash_lsh + ngram_jaccard_pairs, whose band
+# buckets / posting lists gained the structural skew cap this round, and
+# key_rotation_round_robin + key_rotation_seeded, whose request numbering
+# was de-skewed to hierarchical (day, hour) composition — all four need
+# fresh driver rows for the changed dataflow anyway), joined by the TWO
+# new queries (first driver rows):
+#   dedup_minhash_lsh_capped — the band-bucket mega-class guard's
+#     cross-engine attestation (the semantic_dedup_capped precedent);
+#   ivf_pq_topk — the IVFADC composition (probe k-means cells, ADC-scan
+#     only probed cells, exact rerank) with a full generated DuckDB twin;
+# and 3 keepers from the round-8 head whose dataflow changed this round
+# or that anchor the suite:
+#   quota_latch_final (the latch now encodes the error flag JVM-side
+#     before the stateful exchange and stages a 2-column source);
+#   pq_adc_topk (the PQ codebook fit is now a fused single-job-per-
+#     iteration Lloyd across all M subspaces — identical codebooks,
+#     attested by this round's replica, but the fitting dataflow is new);
+#   channel_video_metrics (flagship; sole gate for the A1/A2/A4 grouped
+#     matrix).
+# The 47 demoted queries below are ALL hash-green in CORRECTNESS_r08.json
+# on this code (only pq_codes' fitting path changed among them — and its
+# twin is re-attested by the round-9 three-tier replica); each leaves its
+# family covered in the head:
+#   dim_broadcast_join → J1/J4 via enrichment_join + semi_join_lookup
+#     (promoted); rolling_daily_average/hourly_usage_windows/
+#     key_rotation_least_used/rate_limit_pacer/retry_schedule → ST2-ST6
+#     via daily_usage_windows + key_rotation_round_robin/seeded +
+#     key_usage_rollup + cache_ttl_filter (all promoted) +
+#     quota_latch_final (keeper);
+#   doc_repetition_stats/doc_text_stats/language_id/redact_pii →
+#     curation via corpus_curation_funnel + curation_pipeline_v2
+#     (promoted, compose the same operators);
+#   winnowing_fingerprints → doc_fingerprint (promoted, same rolling-
+#     hash family); dedup_connected_components/benchmark_contamination →
+#     dedup via dedup_exact/minhash_lsh/simhash/ngram_jaccard_pairs/
+#     embedding_cosine (all promoted) + dedup_minhash_lsh_capped (new);
+#   duplicate_spans/remove_duplicate_spans/doc_novelty/
+#     source_overlap_matrix/export_pipeline → the spans family's
+#     operators re-enter through the promoted dedup/sampling queries'
+#     shared memo artifacts; bpe_fertility/pack_sequences(_bpe)/
+#     chunk_documents/split_by_hash → tokenizer family via bpe_merges
+#     (promoted); ann_ivf_kmeans/pq_codes/semantic_dedup_capped/
+#     cluster_balanced_sample → clustering via kmeans_cells +
+#     semantic_dedup (promoted) + pq_adc_topk (keeper) + ivf_pq_topk
+#     (new, composes the same probe + codes);
+#   corpus_sample_hash/stratified_sample/mixture_temperature_sample/
+#     global_shuffle_shards/token_budget_allocation/
+#     dsir_importance_weights → sampling family pytests + the promoted
+#     curation capstones; tfidf_top_terms/bm25_search/perplexity_buckets
+#     → ranking via bigram_lm_quality (promoted); ann_ivf_topk →
+#     similarity via ann_cosine_topk + ann_vectorized_bound (promoted) +
+#     ivf_pq_topk (new); media_metadata_stats/media_resize/
+#     media_frame_sample → multimodal via media_decode_features
+#     (promoted); video_type_distribution → P5/A3 via
+#     channel_type_classification (promoted); duration_parse/
+#     batch_union_envelope → §2.7/§2.8 via set_ops_user_cohorts +
+#     json_props_metrics (promoted); events_asof_latest_order → temporal
+#     via events_in_order_window (promoted); approx_usage_sketch →
+#     sketches via distinct_usage_stats (promoted, exact twin of the
+#     same rollup); channel_format_flat → P1 via channel_by_handle +
+#     video_format_flat (promoted); pricing_summary → grouping via
+#     revenue_rollup + daily_event_pivot (promoted) +
+#     channel_video_metrics (keeper).
 _GATE_TAIL = [
-    "channel_type_classification",
-    "final_metrics_struct",
-    "language_mode",
-    "language_distribution",
-    "enrichment_join",
-    "semi_join_lookup",
-    "log_page",
-    "pagination_meta",
-    "log_level_stats",
-    "top_loggers",
-    "recent_level_stats",
-    "retention_cleanup",
-    "daily_usage_windows",
-    "key_rotation_round_robin",
-    "key_rotation_seeded",
-    "key_usage_rollup",
-    "cache_ttl_filter",
-    "user_sessions",
-    "distinct_usage_stats",
-    "corpus_curation_funnel",
-    "curation_pipeline_v2",
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ngram_jaccard_pairs",
-    "dedup_embedding_cosine",
-    "bpe_merges",
-    "kmeans_cells",
-    "semantic_dedup",
-    "bigram_lm_quality",
-    "ann_cosine_topk",
-    "ann_vectorized_bound",
-    "media_decode_features",
-    "set_ops_user_cohorts",
-    "email_topic_projection",
-    "json_props_metrics",
-    "cache_status_rollup",
-    "rss_xml_roundtrip",
-    "events_in_order_window",
-    "revenue_rollup",
-    "daily_event_pivot",
-    "language_fallback_resolution",
-    "video_format_flat",
-    "channel_by_handle",
+    "dim_broadcast_join",
+    "rolling_daily_average",
+    "key_rotation_least_used",
+    "hourly_usage_windows",
+    "rate_limit_pacer",
+    "retry_schedule",
+    "doc_repetition_stats",
+    "winnowing_fingerprints",
+    "doc_text_stats",
+    "language_id",
+    "redact_pii",
+    "dedup_connected_components",
+    "benchmark_contamination",
+    "duplicate_spans",
+    "remove_duplicate_spans",
+    "doc_novelty",
+    "source_overlap_matrix",
+    "export_pipeline",
+    "bpe_fertility",
+    "pack_sequences_bpe",
+    "chunk_documents",
+    "split_by_hash",
+    "pack_sequences",
+    "ann_ivf_kmeans",
+    "pq_codes",
+    "semantic_dedup_capped",
+    "cluster_balanced_sample",
+    "corpus_sample_hash",
+    "stratified_sample",
+    "mixture_temperature_sample",
+    "global_shuffle_shards",
+    "token_budget_allocation",
+    "dsir_importance_weights",
+    "tfidf_top_terms",
+    "bm25_search",
+    "perplexity_buckets",
+    "ann_ivf_topk",
+    "media_metadata_stats",
+    "media_resize",
+    "media_frame_sample",
+    "video_type_distribution",
+    "duration_parse",
+    "batch_union_envelope",
+    "events_asof_latest_order",
+    "approx_usage_sketch",
+    "channel_format_flat",
+    "pricing_summary",
 ]
 
 

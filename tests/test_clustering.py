@@ -505,3 +505,89 @@ def test_semantic_dedup_hostile_mega_cell(spark):
     mega = {r.vec_id: r.dup_of for r in dups if r.vec_id < n // 2}
     assert set(mega) == set(range(1, n // 2))
     assert all(d == 0 for d in mega.values())
+
+
+def test_ivf_pq_topk_containment_and_recall(spark, sf_dir):
+    """IVFADC composition invariants:
+
+    1. **cell containment** — every returned neighbor's cell is one of
+       its query's probed cells, recomputed here in exact rational
+       arithmetic (Fraction) from the fitted centroids: the whole point
+       of the composition is that the ADC scan never leaves the probe.
+    2. **recall differential vs full-scan ADC** — ivf_pq restricts the
+       candidate pool to ~N_PROBE/k of the corpus, so its recall@5 vs
+       exact quantized-L2 may trail pq_adc_topk's but must stay usable
+       (>= 0.3 on the fixture) and the differential is bounded.
+    3. **exact_dist is the true quantized L2** (NumPy check) — the
+       rerank stage never approximates."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from youtube_api_batch_process_with_analytics_spark.operators.clustering import (
+        IVF_KM_N_PROBE,
+        QUANT_SCALE,
+        _gate_kmeans,
+        ivf_pq_topk,
+        kmeans_cells_query,
+        pq_adc_topk,
+    )
+    from youtube_api_batch_process_with_analytics_spark.sources import load_table
+
+    rows = ivf_pq_topk(spark, sf_dir).collect()
+    assert rows, "ivf_pq_topk returned no rows"
+    _, cents = _gate_kmeans(spark, sf_dir)
+    cells = {r.vec_id: r.cluster for r in kmeans_cells_query(spark, sf_dir).collect()}
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    ids = np.array([r.vec_id for r in emb])
+    mat = np.rint(
+        np.array([r.embedding for r in emb], dtype=np.float64) * QUANT_SCALE
+    ).astype(np.int64)
+    qvec = {int(i): mat[k] for k, i in enumerate(ids)}
+
+    def probe(qid):
+        dists = []
+        for c, (svec, n) in cents.items():
+            d = sum(
+                Fraction(int(n) * int(x) - int(s), 1) ** 2
+                for x, s in zip(qvec[qid], svec)
+            ) / Fraction(n * n)
+            dists.append((d, c))
+        dists.sort()
+        return {c for _, c in dists[:IVF_KM_N_PROBE]}
+
+    got = {}
+    for r in rows:
+        # 1. containment: neighbor's cell is probed, and matches the gate
+        assert r.cell == cells[r.neighbor_id]
+        assert r.cell in probe(r.query_id), (
+            f"neighbor {r.neighbor_id} of query {r.query_id} "
+            f"lies outside the probed cells"
+        )
+        # 3. exact rerank distance is the true quantized L2
+        d = int(((qvec[r.query_id] - qvec[r.neighbor_id]) ** 2).sum())
+        assert r.exact_dist == d
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    adc = pq_adc_topk(spark, sf_dir, top_k=5, stride=50, shortlist=100).collect()
+    full = {}
+    for r in adc:
+        full.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(res):
+        hits = total = 0
+        for q, neigh in res.items():
+            d = ((mat - qvec[q]) ** 2).sum(axis=1)
+            d[np.where(ids == q)[0][0]] = np.iinfo(np.int64).max
+            exact = set(ids[np.argsort(d, kind="stable")[:5]].tolist())
+            hits += len(neigh & exact)
+            total += 5
+        return hits / total
+
+    r_ivf, r_full = recall(got), recall(full)
+    assert r_ivf >= 0.3, f"IVFADC recall too low: {r_ivf:.2f}"
+    # the probe restriction can only lose so much on this fixture
+    assert r_full - r_ivf <= 0.5, (
+        f"recall differential suspicious: full={r_full:.2f} ivf={r_ivf:.2f}"
+    )

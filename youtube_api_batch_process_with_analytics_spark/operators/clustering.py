@@ -498,23 +498,73 @@ def _pq_fit(spark: SparkSession, sf_dir: str) -> list[dict[int, tuple[list[int],
     if hit is not None:
         return hit
     width = PQ_DIM // PQ_M
-    emb = _quantized(spark, sf_dir)
-    books = []
-    for m in range(PQ_M):
-        sub = emb.select(
-            "vec_id", F.slice("qvec", m * width + 1, width).alias("qvec")
-        ).persist()
-        try:
-            assigned = sub.withColumn(
-                "cluster", (F.col("vec_id") % PQ_K).cast("int")
+    # All M subspaces fit in lock-step: every Lloyd iteration is ONE
+    # shuffle job keyed on (m, cluster, pos) instead of M sequential
+    # per-subspace jobs (round-9: cut the cold fit from 2·M driver-
+    # synchronized collects to PQ_ITERS — the per-round stats of
+    # independent subspaces commute, so fusing them changes nothing
+    # about the per-subspace rational centroids or assignments).
+    subs = _quantized(spark, sf_dir).select(
+        "vec_id",
+        *[
+            F.slice("qvec", m * width + 1, width).alias(f"q{m}")
+            for m in range(PQ_M)
+        ],
+    ).persist()
+    try:
+        qcols = [f"q{m}" for m in range(PQ_M)]
+        assigned = subs.select(
+            "vec_id",
+            *qcols,
+            *[
+                (F.col("vec_id") % PQ_K).cast("int").alias(f"c{m}")
+                for m in range(PQ_M)
+            ],
+        )
+        books: list[dict[int, tuple[list[int], int]]] = []
+        for _ in range(PQ_ITERS):
+            flat = (
+                assigned.select(
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(m).alias("m"),
+                                    F.col(f"c{m}").alias("cluster"),
+                                    F.col(f"q{m}").alias("sub"),
+                                )
+                                for m in range(PQ_M)
+                            ]
+                        )
+                    ).alias("e")
+                )
+                .select("e.m", "e.cluster", F.posexplode("e.sub").alias("pos", "x"))
+                .groupBy("m", "cluster", "pos")
+                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                .collect()
             )
-            cents: dict[int, tuple[list[int], int]] = {}
-            for _ in range(PQ_ITERS):
-                cents = _int_centroids(assigned)
-                assigned = sub.withColumn("cluster", _int_assign_expr(cents))
-            books.append(cents)
-        finally:
-            sub.unpersist()
+            by_m: list[dict[int, dict[int, int]]] = [{} for _ in range(PQ_M)]
+            counts: list[dict[int, int]] = [{} for _ in range(PQ_M)]
+            for r in flat:
+                by_m[r.m].setdefault(r.cluster, {})[r.pos] = r.s
+                counts[r.m][r.cluster] = r.n
+            books = [
+                {
+                    c: ([dims[p] for p in sorted(dims)], counts[m][c])
+                    for c, dims in by_m[m].items()
+                }
+                for m in range(PQ_M)
+            ]
+            assigned = subs.select(
+                "vec_id",
+                *qcols,
+                *[
+                    _int_assign_expr(books[m], col=f"q{m}").alias(f"c{m}")
+                    for m in range(PQ_M)
+                ],
+            )
+    finally:
+        subs.unpersist()
     with _KMEANS_CACHE_LOCK:
         _PQ_MODEL_CACHE[key] = books
     return books
@@ -784,6 +834,274 @@ rer AS (
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, exact_dist,
        adc_dist
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY exact_dist ASC, neighbor_id ASC
+  ) AS rank FROM rer
+) WHERE rank <= {top_k}
+ORDER BY query_id, rank"""
+    )
+    return "".join(parts)
+
+
+# --- IVF × PQ composition (IVFADC) ----------------------------------------
+
+IVF_PQ_SHORTLIST = 50
+
+
+def ivf_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    top_k: int = 5,
+    stride: int = IVF_KM_QUERY_STRIDE,
+    shortlist: int = IVF_PQ_SHORTLIST,
+) -> DataFrame:
+    """IVFADC — the standard 100-TB ANN serving shape (Jégou et al. 2011,
+    public method): coarse-quantize the corpus into IVF cells (the gated
+    integer-exact k-means), PQ-encode every vector, then per query (1)
+    probe the ``IVF_KM_N_PROBE`` nearest cells by exact rational-centroid
+    L2, (2) ADC-scan ONLY the probed cells' code lists for a shortlist,
+    (3) exact-rerank the shortlist against raw quantized vectors.
+
+    vs `pq_adc_topk`: that operator ADC-scans the FULL code table — O(N)
+    lookups per query. Composing with the IVF probe cuts the scan to the
+    probed cells (~N_PROBE/k of the corpus), which is what makes ADC
+    serving viable when the code table itself is TB-scale. Both the cell
+    assignment and the PQ codes are map-only columns on ONE scan (no
+    join between the index parts), and the per-query work ships as a
+    broadcast of (query × probed-cell) rows against the cell-keyed
+    candidate stream.
+
+    Recall is bounded by the probe (a true neighbor in an unprobed cell
+    is unreachable) — the recall differential vs `pq_adc_topk` is pinned
+    in tests/test_clustering.py. Every decision-path quantity is
+    integer-exact or fixed-order IEEE (the pq_adc_topk argument), so the
+    DuckDB twin reproduces shortlists and ranks bit-for-bit."""
+    assigned, cents = _gate_kmeans(spark, sf_dir)
+    books = _pq_fit(spark, sf_dir)
+    width = PQ_DIM // PQ_M
+
+    # candidate index: IVF cell + M PQ codes, all map-only on one scan
+    cand = assigned
+    for m, bk in enumerate(books):
+        cand = cand.withColumn(
+            f"_sub{m}", F.slice("qvec", m * width + 1, width)
+        ).withColumn(
+            f"code_{m}", _int_assign_expr(bk, field="code", col=f"_sub{m}")
+        )
+    cand = cand.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cluster").alias("cell"),
+        *[F.col(f"code_{m}") for m in range(PQ_M)],
+    )
+
+    queries = _quantized(spark, sf_dir).filter(
+        (F.col("vec_id") % stride == 0) & (F.col("vec_id") < QUERY_ID_CAP)
+    ).select(F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec"))
+    # probe: N_PROBE nearest cells by exact rational L2 to the final-
+    # assignment centroids (same contract as ann_ivf_kmeans's probe)
+    structs = ", ".join(
+        f"named_struct('d', {_dist_sql(*cents[c], col='q_qvec')}, "
+        f"'cell', {int(c)})"
+        for c in sorted(cents)
+    )
+    probed_cells = F.expr(
+        f"transform(slice(array_sort(array({structs})), 1, "
+        f"{IVF_KM_N_PROBE}), s -> s.cell)"
+    )
+    queries = queries.withColumn("_cells", probed_cells)
+    # per-query ADC distance tables, indexed by cluster id (slot c+1 =
+    # centroid c; emptied clusters keep their slot as +inf — the
+    # pq_adc_topk layout contract)
+    for m, bk in enumerate(books):
+        queries = queries.withColumn(
+            f"_q{m}", F.slice("q_qvec", m * width + 1, width)
+        ).withColumn(
+            f"_dt{m}",
+            F.array(
+                *[
+                    F.expr(_dist_sql(*bk[c], col=f"_q{m}"))
+                    if c in bk
+                    else F.lit(float("inf"))
+                    for c in range(PQ_K)
+                ]
+            ),
+        )
+    probed = queries.select(
+        "query_id",
+        "q_qvec",
+        *[F.col(f"_dt{m}") for m in range(PQ_M)],
+        F.explode("_cells").alias("cell"),
+    )
+
+    pairs = F.broadcast(probed).join(cand, "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = None
+    for m in range(PQ_M):
+        term = F.element_at(F.col(f"_dt{m}"), F.col(f"code_{m}") + 1)
+        adc = term if adc is None else adc + term
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        pairs.withColumn("adc_dist", adc)
+        .withColumn("_adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("_adc_rank") <= shortlist)
+        .select("query_id", "q_qvec", "neighbor_id", "cell", "adc_dist")
+    )
+    # exact quantized-L2 rerank on the shortlist only
+    reranked = short.join(
+        _quantized(spark, sf_dir).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("qvec").alias("n_qvec"),
+        ),
+        "neighbor_id",
+    ).withColumn(
+        "exact_dist",
+        F.aggregate(
+            F.zip_with("q_qvec", "n_qvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            "cell",
+            "exact_dist",
+            "adc_dist",
+        )
+    )
+
+
+def oracle_ivf_pq_topk(
+    k: int = KMEANS_GATE_K,
+    km_iters: int = KMEANS_GATE_ITERS,
+    m_sub: int = PQ_M,
+    pq_k: int = PQ_K,
+    pq_iters: int = PQ_ITERS,
+    dim: int = PQ_DIM,
+    scale: int = QUANT_SCALE,
+    top_k: int = 5,
+    stride: int = IVF_KM_QUERY_STRIDE,
+    shortlist: int = IVF_PQ_SHORTLIST,
+    n_probe: int = IVF_KM_N_PROBE,
+) -> str:
+    """Exact DuckDB twin of the IVFADC composition — the kmeans probe
+    CTEs (oracle_ann_ivf_kmeans) fused with the PQ code/ADC CTEs
+    (oracle_pq_adc_topk), the ADC scan restricted to probed cells."""
+    width = dim // m_sub
+    parts = [
+        f"""WITH emb AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qvec
+  FROM embeddings WHERE {_EMB_VALID}
+),
+qx AS (
+  SELECT vec_id, generate_subscripts(qvec, 1) AS pos, unnest(qvec) AS x
+  FROM emb
+),
+a0 AS (SELECT vec_id, CAST(vec_id % {k} AS INTEGER) AS cluster FROM emb)"""
+    ]
+    for r in range(1, km_iters + 1):
+        parts.append(_oracle_round(r))
+    parts.append(
+        f""",
+sF AS (
+  SELECT a.cluster, q.pos, SUM(q.x) AS s, COUNT(*) AS n
+  FROM qx q JOIN a{km_iters} a USING (vec_id) GROUP BY a.cluster, q.pos
+),
+pd AS (
+  SELECT q.vec_id AS query_id, s.cluster AS cell,
+         CAST(SUM((s.n * q.x - s.s) * (s.n * q.x - s.s)) AS DOUBLE)
+           / CAST(ANY_VALUE(s.n) * ANY_VALUE(s.n) AS DOUBLE) AS dist
+  FROM qx q JOIN sF s ON s.pos = q.pos
+  WHERE q.vec_id % {stride} = 0 AND q.vec_id < {QUERY_ID_CAP}
+  GROUP BY q.vec_id, s.cluster
+),
+probed AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+    FROM pd
+  ) WHERE rn <= {n_probe}
+)"""
+    )
+    for m in range(m_sub):
+        off = m * width
+        parts.append(
+            f""",
+m{m}qx AS (
+  SELECT vec_id, pos - {off} AS pos, x FROM qx
+  WHERE pos > {off} AND pos <= {off + width}
+),
+m{m}a0 AS (SELECT vec_id, CAST(vec_id % {pq_k} AS INTEGER) AS cluster FROM emb)"""
+        )
+        for r in range(1, pq_iters + 1):
+            parts.append(_oracle_round(r, prefix=f"m{m}"))
+        parts.append(
+            f""",
+m{m}qd AS (
+  SELECT q.vec_id AS query_id, s.cluster,
+         CAST(SUM((s.n * q.x - s.s) * (s.n * q.x - s.s)) AS DOUBLE)
+           / CAST(ANY_VALUE(s.n) * ANY_VALUE(s.n) AS DOUBLE) AS d
+  FROM m{m}qx q JOIN m{m}s{pq_iters} s ON s.pos = q.pos
+  WHERE q.vec_id % {stride} = 0 AND q.vec_id < {QUERY_ID_CAP}
+  GROUP BY q.vec_id, s.cluster
+)"""
+        )
+    code_cols = ", ".join(
+        f"m{m}a{pq_iters}.cluster AS code_{m}" for m in range(m_sub)
+    )
+    code_joins = " ".join(
+        f"JOIN m{m}a{pq_iters} ON m{m}a{pq_iters}.vec_id = emb.vec_id"
+        for m in range(m_sub)
+    )
+    adc_joins = " ".join(
+        f"JOIN m{m}qd d{m} ON d{m}.query_id = p.query_id "
+        f"AND d{m}.cluster = c.code_{m}"
+        for m in range(m_sub)
+    )
+    adc_sum = "d0.d"
+    for m in range(1, m_sub):
+        adc_sum = f"({adc_sum} + d{m}.d)"
+    parts.append(
+        f""",
+codes AS (SELECT emb.vec_id, {code_cols} FROM emb {code_joins}),
+adcp AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id, av.cluster AS cell,
+         {adc_sum} AS adc_dist
+  FROM probed p
+  JOIN a{km_iters} av ON av.cluster = p.cell
+  JOIN codes c ON c.vec_id = av.vec_id AND c.vec_id <> p.query_id
+  {adc_joins}
+),
+short AS (
+  SELECT query_id, neighbor_id, cell, adc_dist FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC
+    ) AS arn FROM adcp
+  ) WHERE arn <= {shortlist}
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id, s.cell, s.adc_dist,
+         CAST(SUM((qq.x - nn.x) * (qq.x - nn.x)) AS BIGINT) AS exact_dist
+  FROM short s
+  JOIN qx qq ON qq.vec_id = s.query_id
+  JOIN qx nn ON nn.vec_id = s.neighbor_id AND nn.pos = qq.pos
+  GROUP BY s.query_id, s.neighbor_id, s.cell, s.adc_dist
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cell,
+       exact_dist, adc_dist
 FROM (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY exact_dist ASC, neighbor_id ASC
@@ -1206,6 +1524,7 @@ QUERIES = {
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "pq_codes": pq_codes_query,
     "pq_adc_topk": pq_adc_topk,
+    "ivf_pq_topk": ivf_pq_topk,
     "semantic_dedup": semantic_dedup,
     "semantic_dedup_capped": semantic_dedup_capped,
     "cluster_balanced_sample": cluster_balanced_sample,
@@ -1216,6 +1535,7 @@ ORACLES = {
     "ann_ivf_kmeans": oracle_ann_ivf_kmeans(),
     "pq_codes": oracle_pq_codes(),
     "pq_adc_topk": oracle_pq_adc_topk(),
+    "ivf_pq_topk": oracle_ivf_pq_topk(),
     "semantic_dedup": oracle_semantic_dedup(),
     "semantic_dedup_capped": oracle_semantic_dedup_capped(),
     "cluster_balanced_sample": oracle_cluster_balanced_sample(),
