@@ -209,8 +209,13 @@ def dedup_minhash_lsh(
         ).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
-    sig_key = F.md5(
-        F.concat_ws("|", *[F.col(f"h{p}") for p in range(N_PERMUTATIONS)])
+    # Equality key over the full signature — the guard only ever GROUPS
+    # and JOINS on it, never outputs it, so any injective-in-practice
+    # function of (h0..h7) yields the identical equivalence classes. A
+    # LONG xxhash64 shuffles/sorts/compares ~4x cheaper than the 32-char
+    # md5 hex the oracle twin uses for the same classes (round 9).
+    sig_key = F.xxhash64(
+        *[F.col(f"h{p}") for p in range(N_PERMUTATIONS)]
     ).alias("sig_key")
     banded = sig.select("doc_id", sig_key, *band_exprs).select(
         "doc_id",
@@ -227,8 +232,15 @@ def dedup_minhash_lsh(
         ).alias("b"),
     ).select("doc_id", "sig_key", "b.band_idx", "b.band_key")
 
+    # LONG sentinel for non-oversized buckets. Within any one (band_idx,
+    # band_key) bucket the sub column is EITHER all-sentinel (small
+    # bucket) or all-sig-hash (oversized) — the when-branch is a function
+    # of the bucket — so a sig class that happens to hash to the sentinel
+    # value cannot cross-contaminate anything: sub is only ever compared
+    # alongside the bucket key.
+    _SUB_NONE = F.lit(-1).cast("long")
     if bucket_cap is None:
-        pool = banded.withColumn("sub", F.lit("-"))
+        pool = banded.withColumn("sub", _SUB_NONE)
         full = pool
     else:
         # layer 1: per-bucket size via a no-sort count window (the bucket
@@ -240,7 +252,7 @@ def dedup_minhash_lsh(
             "sub",
             F.when(
                 F.count("*").over(w_cnt) > bucket_cap, F.col("sig_key")
-            ).otherwise(F.lit("-")),
+            ).otherwise(_SUB_NONE),
         )
         # layer 2: the pair join's left pool is each group's bucket_cap
         # lowest doc_ids (rank ≤ cap plans as WindowGroupLimit — only
