@@ -15,6 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from .memo import track_persisted
 
 DAILY_QUOTA = 10_000  # config.py:15
 HOURLY_QUOTA = 1_000  # config.py:16
@@ -416,18 +417,25 @@ def key_rotation_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
     — followed by a partial-aggregable rollup.
     """
     events = load_table(spark, sf_dir, "events")
-    admitted = _admitted_pool(events)
+    # persisted per invocation: slots and pool both read the admitted dim
+    # and AQE does not dedup the duplicated chain — one computation,
+    # released via memo.release_session_frames()
+    admitted = track_persisted(_admitted_pool(events).persist())
     slot_w = W.partitionBy("day").orderBy(F.col("key_id").asc())
     slots = admitted.select(
         "day", "key_id", (F.row_number().over(slot_w) - 1).alias("slot")
     )
-    # n_keys as max(slot)+1 over `slots` — exact (slot is dense 0..n−1 per
-    # day) and window-DEPENDENT, so Catalyst can neither prune the slot
-    # window nor re-derive the admission chain as a second subtree (a
-    # count(*) did both: two extra exchanges + a redundant events scan);
-    # the aggregate also rides the slot window's per-day partitioning with
-    # no exchange of its own.
-    pool = slots.groupBy("day").agg((F.max("slot") + 1).alias("n_keys"))
+    # Day-level pool sizes from `admitted` directly (plain partial-
+    # aggregable count — no window in this branch). Both this and `slots`
+    # re-derive the admission chain as separate physical subtrees (AQE's
+    # ReusedExchange measurably does NOT dedup them), but both are tiny
+    # BROADCAST builds over the aggregate-small admitted dim; the
+    # alternative — folding n_keys into `slots` and matching the slot in
+    # the join's residual condition — measurably DISABLES whole-stage
+    # codegen for the entire probe stage (Spark 4.1: a non-equi residual
+    # over both sides' attributes drops the stage to interpreted mode —
+    # 28s vs 3s on the sf1 tier), so two equi broadcast joins it is.
+    pool = admitted.groupBy("day").agg(F.count("*").alias("n_keys"))
     hour_w = W.partitionBy("day", "hour").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
@@ -468,7 +476,7 @@ def key_rotation_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         requests.join(F.broadcast(pool), "day")
         .withColumn("slot", F.col("seq") % F.col("n_keys"))
-        .join(slots, ["day", "slot"])
+        .join(F.broadcast(slots), ["day", "slot"])
     )
     return (
         assigned.groupBy(F.col("day").cast("date").alias("day"), "key_id")
@@ -536,17 +544,18 @@ def key_rotation_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     served request id.
     """
     events = load_table(spark, sf_dir, "events")
-    admitted = _admitted_pool(events)
+    # persisted per invocation: slots and pool both read the admitted dim
+    # and AQE does not dedup the duplicated chain — one computation,
+    # released via memo.release_session_frames()
+    admitted = track_persisted(_admitted_pool(events).persist())
     slot_w = W.partitionBy("day").orderBy(F.col("key_id").asc())
     slots = admitted.select(
         "day", "key_id", (F.row_number().over(slot_w) - 1).alias("slot")
     )
-    # max(slot)+1, not count(*): window-dependent, so the pool branch
-    # keeps the slot window and stays canonically identical to the slots
-    # branch — the admission chain's shuffles dedup at runtime
-    # (ReusedExchange) instead of being re-derived (same fix as
-    # key_rotation_round_robin's round-9 de-skew pass).
-    pool = slots.groupBy("day").agg((F.max("slot") + 1).alias("n_keys"))
+    # plain day-level count, broadcast — NOT a residual-condition join
+    # (see key_rotation_round_robin: a non-equi residual drops the whole
+    # probe stage out of codegen)
+    pool = admitted.groupBy("day").agg(F.count("*").alias("n_keys"))
     draw = F.conv(
         F.substring(
             F.md5(
@@ -564,7 +573,7 @@ def key_rotation_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         requests.join(F.broadcast(pool), "day")
         .withColumn("slot", F.col("_draw") % F.col("n_keys"))
-        .join(slots, ["day", "slot"])
+        .join(F.broadcast(slots), ["day", "slot"])
     )
     return (
         assigned.groupBy(F.col("day").cast("date").alias("day"), "key_id")
