@@ -624,3 +624,53 @@ def test_sessionization_checkpoint_recovery_watermark_restored(
     }, sorted(got)
     # exactly-once: no duplicate emission across the restart
     assert spark.read.parquet(out).count() == 3
+
+
+def test_quota_latch_gate_single_microbatch(spark, sf_dir):
+    """The gate wrapper's staged source must feed availableNow as ONE
+    micro-batch (coalesced staging write, well under maxFilesPerTrigger):
+    batch startup — not state work — would otherwise dominate the
+    wall-clock. Round-9 profile note: with one batch, the remaining cost
+    scales with KEY cardinality (one Python group call + one tiny Arrow
+    batch per key in applyInPandasWithState), which is the price of
+    driving the real streaming engine — the attestation contract."""
+    import uuid
+
+    from youtube_api_batch_process_with_analytics_spark.sources import load_table
+    from youtube_api_batch_process_with_analytics_spark.streaming import state as st
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    src = st._latch_src_acquire(spark, sf_dir, events)
+    name = "latch_bc_" + uuid.uuid4().hex[:6]
+    try:
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            st.quota_latch_stream(stream, quota=st.LATCH_GATE_QUOTA)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        q.stop()
+        assert len(fed) == 1, f"expected 1 non-empty micro-batch, got {len(fed)}"
+        got = {
+            r.key_id: (r.total_requests, r.total_failures, r.is_exhausted)
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+        exp = {
+            r.user_id: (r.n, r.f, r.n >= st.LATCH_GATE_QUOTA)
+            for r in events.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.when(F.col("event_type") == "error", 1).otherwise(0)
+                ).alias("f"),
+            )
+            .collect()
+        }
+        assert got == exp
+    finally:
+        st._latch_src_release(src)

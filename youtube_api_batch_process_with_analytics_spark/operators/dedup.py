@@ -248,23 +248,30 @@ def dedup_minhash_lsh(
         # scale, unlike semantic_dedup's k-sized cell map); oversized
         # buckets key their pairing groups by the full signature.
         w_cnt = Window.partitionBy("band_idx", "band_key")
-        full = banded.withColumn(
-            "sub",
-            F.when(
-                F.count("*").over(w_cnt) > bucket_cap, F.col("sig_key")
-            ).otherwise(_SUB_NONE),
-        )
         # layer 2: the pair join's left pool is each group's bucket_cap
-        # lowest doc_ids (rank ≤ cap plans as WindowGroupLimit — only
-        # ≤ cap rows per group per map partition reach the sort).
+        # lowest doc_ids.
         w_rn = Window.partitionBy("band_idx", "band_key", "sub").orderBy(
             F.col("doc_id").asc()
         )
-        pool = (
-            full.withColumn("_rn", F.row_number().over(w_rn))
-            .filter(F.col("_rn") <= bucket_cap)
-            .drop("_rn")
+        # ONE windowed pipeline, persisted per invocation: the self-join
+        # references the guarded frame on BOTH sides, and AQE's
+        # ReusedExchange measurably does not dedup the duplicated
+        # minhash+window subtrees (the key-rotation finding) — without
+        # the persist the 8-permutation minhash AND both window passes
+        # run twice. Released via memo.release_session_frames().
+        ranked = track_persisted(
+            banded.withColumn(
+                "sub",
+                F.when(
+                    F.count("*").over(w_cnt) > bucket_cap, F.col("sig_key")
+                ).otherwise(_SUB_NONE),
+            )
+            .withColumn("_rn", F.row_number().over(w_rn))
+            .drop("sig_key")  # folded into sub; don't store it twice
+            .persist()
         )
+        full = ranked.drop("_rn")
+        pool = ranked.filter(F.col("_rn") <= bucket_cap).drop("_rn")
 
     left = pool.alias("l")
     right = full.alias("r")
