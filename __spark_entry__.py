@@ -457,22 +457,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # buckets / posting lists gained the structural skew cap this round, and
 # key_rotation_round_robin + key_rotation_seeded, whose request numbering
 # was de-skewed to hierarchical (day, hour) composition — all four need
-# fresh driver rows for the changed dataflow anyway), joined by the TWO
+# fresh driver rows for the changed dataflow anyway), joined by the THREE
 # new queries (first driver rows):
 #   dedup_minhash_lsh_capped — the band-bucket mega-class guard's
 #     cross-engine attestation (the semantic_dedup_capped precedent);
 #   ivf_pq_topk — the IVFADC composition (probe k-means cells, ADC-scan
 #     only probed cells, exact rerank) with a full generated DuckDB twin;
-# and 3 keepers from the round-8 head whose dataflow changed this round
+#   ngram_jaccard_block_capped — the posting-list stop-shingle guard's
+#     cross-engine attestation (df-capped candidate generation + EXACT
+#     full-array Jaccard verify; the last posting-join skew risk from the
+#     round-8 verdict, closed with the semantics-preserving variant of
+#     the band-bucket cap);
+# and 2 keepers from the round-8 head whose dataflow changed this round
 # or that anchor the suite:
 #   quota_latch_final (the latch now encodes the error flag JVM-side
 #     before the stateful exchange and stages a 2-column source);
-#   pq_adc_topk (the PQ codebook fit is now a fused single-job-per-
-#     iteration Lloyd across all M subspaces — identical codebooks,
-#     attested by this round's replica, but the fitting dataflow is new);
 #   channel_video_metrics (flagship; sole gate for the A1/A2/A4 grouped
 #     matrix).
-# The 47 demoted queries below are ALL hash-green in CORRECTNESS_r08.json
+# pq_adc_topk sits in the tail despite its fused-fit dataflow change:
+# its round-8 row is green, the fused fit produces bit-identical
+# codebooks, and GATECHECK_r09's four-tier replica re-attests it on this
+# exact HEAD (pq_codes and ivf_pq_topk exercise the same fit in the
+# head/attestation anyway).
+# The 48 demoted queries below are ALL hash-green in CORRECTNESS_r08.json
 # on this code (only pq_codes' fitting path changed among them — and its
 # twin is re-attested by the round-9 three-tier replica); each leaves its
 # family covered in the head:
@@ -517,6 +524,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     revenue_rollup + daily_event_pivot (promoted) +
 #     channel_video_metrics (keeper).
 _GATE_TAIL = [
+    "pq_adc_topk",
     "dim_broadcast_join",
     "rolling_daily_average",
     "key_rotation_least_used",

@@ -31,3 +31,56 @@ def test_contamination_flags_every_benchmark_source(spark, sf_dir):
     }
     for bench_id in [r.bench_id for r in bench.select("bench_id").collect()]:
         assert (bench_id, bench_id) in hits
+
+
+def test_ngram_block_capped_hot_shingle_guard(spark):
+    """Stop-shingle guard invariants on a hostile block: one shingle
+    shared by ALL K docs (ubiquitous — K² posting rows uncapped), plus
+    one true near-dup pair sharing discriminative rare shingles.
+
+    1. the hot shingle is dropped from candidate generation (pairs whose
+       ONLY overlap is the hot shingle never appear),
+    2. the near-dup pair survives and its jaccard equals the EXACT
+       uncapped value (guard caps recall, never values)."""
+    from pyspark.sql import Row
+
+    from youtube_api_batch_process_with_analytics_spark.operators.dedup import (
+        ngram_jaccard_block_capped,
+        ngram_jaccard_pairs,
+    )
+
+    k = 20
+    hot = "the quick brown"  # one 3-gram shared by everyone
+    rows = []
+    for i in range(k):
+        # distinct filler so non-dup docs share ONLY the hot shingle
+        filler = f"filler{i} alpha{i} beta{i} gamma{i} delta{i} eps{i}"
+        rows.append(Row(doc_id=i, source="s", text=f"{hot} {filler}"))
+    # docs 100/101: true near-dups sharing many rare shingles
+    shared = "zebra yak xenon walrus vulture toucan seal raven"
+    rows.append(Row(doc_id=100, source="s", text=f"{hot} {shared} end one"))
+    rows.append(Row(doc_id=101, source="s", text=f"{hot} {shared} end two"))
+    docs = spark.createDataFrame(rows)
+
+    import youtube_api_batch_process_with_analytics_spark.operators.dedup as dd
+
+    orig = dd.load_table
+    dd.load_table = lambda s, d, name: docs
+    try:
+        capped = {
+            (r.doc_id_a, r.doc_id_b): r.jaccard
+            for r in ngram_jaccard_block_capped(spark, "ignored", df_cap=4).collect()
+        }
+        exact = {
+            (r.doc_id_a, r.doc_id_b): r.jaccard
+            for r in ngram_jaccard_pairs(spark, "ignored").collect()
+        }
+    finally:
+        dd.load_table = orig
+    # the near-dup pair survives with the exact value
+    assert (100, 101) in capped
+    assert capped[(100, 101)] == exact[(100, 101)]
+    # no pair among the K hot-only docs materializes
+    assert all(a >= 100 and b >= 100 for a, b in capped), capped
+    # and every emitted pair's value matches the exact operator's
+    assert all(exact.get(p) == j for p, j in capped.items())

@@ -575,6 +575,121 @@ ORDER BY 1, 2, 3
 """
 
 
+# Structural guard for the posting-list self-join (the ngram analog of
+# the LSH band-bucket cap): a shingle occurring in K documents of one
+# block owes K² posting-join rows. Unlike the LSH candidate join, the
+# UNCAPPED posting join COMPUTES the Jaccard numerator, so a per-posting
+# rank cap would corrupt values — the semantics-preserving guard is the
+# standard stop-shingle rule: shingles with block document frequency
+# above the cap are dropped from CANDIDATE GENERATION only, and every
+# surviving pair's Jaccard is then computed EXACTLY on the full shingle
+# arrays (the LSH verify-stage pattern). Values are exact; only recall
+# is bounded — a pair sharing ONLY ubiquitous shingles is missed, the
+# declared trade (ubiquitous shingles are non-discriminative, which is
+# why CCNet/Gopher-style pipelines drop them too). Work per shingle is
+# ≤ df_cap² — structural, not policy.
+NGRAM_DF_CAP = 4096      # production stop-shingle bound
+# Gate knob: at sf0.01 the per-(source, shingle) df histogram is
+# {1: 24840, 2: 630, 3: 12} and the one true near-dup pair shares 37
+# shingles of df=2 — cap=2 demonstrably FIRES the guard (12 shingles
+# drop) while the pair still candidates through its df=2 shingles and
+# verifies with the exact uncapped Jaccard.
+NGRAM_GATE_DF_CAP = 2
+
+
+def ngram_jaccard_block_capped(
+    spark: SparkSession, sf_dir: str, df_cap: int = NGRAM_GATE_DF_CAP
+) -> DataFrame:
+    """`ngram_jaccard_pairs` with the stop-shingle df guard (above):
+    candidate pairs come only from shingles whose within-block document
+    frequency is ≤ ``df_cap``; surviving pairs verify with the EXACT
+    full-array Jaccard, same threshold. Output values for every emitted
+    pair are bit-identical to the uncapped operator's."""
+    if df_cap < 1:
+        raise ValueError("df_cap must be >= 1")
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingled(docs, "source")
+    posts = sh.select(
+        "source", "doc_id", F.explode("shingles").alias("shingle")
+    )
+    w_df = Window.partitionBy("source", "shingle")
+    # persisted: the candidate self-join reads the capped postings on
+    # both sides and ReusedExchange does not dedup the duplicated
+    # explode+window subtrees (the LSH-guard finding)
+    keep = track_persisted(
+        posts.withColumn("_df", F.count("*").over(w_df))
+        .filter(F.col("_df") <= df_cap)
+        .drop("_df")
+        .persist()
+    )
+    cand = (
+        keep.alias("a")
+        .join(
+            keep.alias("b"),
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.source").alias("source"),
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select("source", "doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def _oracle_ngram_block_capped(df_cap: int = NGRAM_GATE_DF_CAP) -> str:
+    return f"""
+WITH {_DUCK_SHINGLE_CTE},
+posts AS (
+  SELECT source, doc_id, unnest(shingles) AS shingle FROM sh
+),
+df AS (
+  SELECT source, shingle, COUNT(*) AS df FROM posts GROUP BY 1, 2
+),
+keep AS (
+  SELECT p.source, p.doc_id, p.shingle
+  FROM posts p JOIN df ON df.source = p.source AND df.shingle = p.shingle
+  WHERE df.df <= {df_cap}
+),
+cand AS (
+  SELECT DISTINCT a.source, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM keep a JOIN keep b
+    ON a.source = b.source AND a.shingle = b.shingle
+       AND a.doc_id < b.doc_id
+)
+SELECT c.source, c.doc_id_a, c.doc_id_b,
+       ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+FROM cand c
+JOIN sh a ON c.doc_id_a = a.doc_id
+JOIN sh b ON c.doc_id_b = b.doc_id
+WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(a.shingles || b.shingles)), 6) >= 0.2
+ORDER BY 1, 2, 3
+"""
+
+
+ORACLE_NGRAM_JACCARD_BLOCK_CAPPED = _oracle_ngram_block_capped()
+
+
 EMB_N_BANDS = 4        # OR-amplification: candidate if ANY band matches
 EMB_BAND_BITS = 6      # 6 sign bits per band → 64 buckets per band
 EMB_COSINE_THRESHOLD = 0.25
@@ -1061,6 +1176,7 @@ QUERIES = {
     "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
     "dedup_simhash": dedup_simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "ngram_jaccard_block_capped": ngram_jaccard_block_capped,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_connected_components": dedup_connected_components,
     "benchmark_contamination": benchmark_contamination_query,
@@ -1072,6 +1188,7 @@ ORACLES = {
     "dedup_minhash_lsh_capped": ORACLE_DEDUP_MINHASH_LSH_CAPPED,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
+    "ngram_jaccard_block_capped": ORACLE_NGRAM_JACCARD_BLOCK_CAPPED,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "dedup_connected_components": ORACLE_DEDUP_CONNECTED_COMPONENTS,
     "benchmark_contamination": ORACLE_BENCHMARK_CONTAMINATION,
