@@ -598,13 +598,21 @@ NGRAM_GATE_DF_CAP = 2
 
 
 def ngram_jaccard_block_capped(
-    spark: SparkSession, sf_dir: str, df_cap: int = NGRAM_GATE_DF_CAP
+    spark: SparkSession, sf_dir: str, df_cap: int = NGRAM_DF_CAP
 ) -> DataFrame:
     """`ngram_jaccard_pairs` with the stop-shingle df guard (above):
     candidate pairs come only from shingles whose within-block document
     frequency is ≤ ``df_cap``; surviving pairs verify with the EXACT
     full-array Jaccard, same threshold. Output values for every emitted
-    pair are bit-identical to the uncapped operator's."""
+    pair are bit-identical to the uncapped operator's.
+
+    The default is the PRODUCTION bound (``NGRAM_DF_CAP`` — round-9
+    ADVICE: a default of the tiny gate knob would silently drop every
+    shingle with df > 2 for an ordinary caller, collapsing recall; the
+    sibling ``dedup_minhash_lsh`` defaults to its production cap the same
+    way). The gated registry row passes ``NGRAM_GATE_DF_CAP`` explicitly
+    via :func:`ngram_jaccard_block_capped_gate` so the guard demonstrably
+    fires on the fixture."""
     if df_cap < 1:
         raise ValueError("df_cap must be >= 1")
     docs = load_table(spark, sf_dir, "documents")
@@ -653,6 +661,17 @@ def ngram_jaccard_block_capped(
         .filter(F.col("jaccard") >= 0.2)
         .select("source", "doc_id_a", "doc_id_b", "jaccard")
     )
+
+
+def ngram_jaccard_block_capped_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gate row for ``ngram_jaccard_block_capped``: runs the production
+    function with ``NGRAM_GATE_DF_CAP`` (passed explicitly — the knob is
+    the gate's, not the function default) so the stop-shingle guard
+    demonstrably fires on the sf0.01 fixture while the true near-dup pair
+    still survives with its exact Jaccard."""
+    return ngram_jaccard_block_capped(spark, sf_dir, df_cap=NGRAM_GATE_DF_CAP)
 
 
 def _oracle_ngram_block_capped(df_cap: int = NGRAM_GATE_DF_CAP) -> str:
@@ -1075,6 +1094,7 @@ def benchmark_contamination(
     docs: DataFrame,
     benchmark: DataFrame,
     min_shared: int = CONTAMINATION_MIN_SHARED,
+    df_cap: int | None = NGRAM_DF_CAP,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing ≥ ``min_shared``
     distinct word-3-shingles with any benchmark item.
@@ -1088,13 +1108,75 @@ def benchmark_contamination(
     benchmark side is tiny by definition (an eval set), so the join
     broadcasts; the corpus side streams through. A production variant
     hashes shingles to 8 bytes first — same plan, smaller keys.
+
+    Stop-shingle guard (round-9 verdict: the last unguarded posting join):
+    a boilerplate shingle occurring in K corpus docs AND in the benchmark
+    owes K·|bench postings| join rows — linear per bench item but
+    unbounded in K. With ``df_cap`` set, the CORPUS-side posting list
+    drops shingles whose global corpus document frequency exceeds the
+    cap for CANDIDATE GENERATION only, and every surviving (doc, bench)
+    pair's ``shared_shingles`` is then computed EXACTLY as
+    |shingles(doc) ∩ shingles(bench)| on the full arrays — the same
+    candidates-then-exact-verify shape as ``ngram_jaccard_block_capped``.
+    Values are exact (the shingle arrays are distinct, so the intersect
+    size equals the uncapped join's count); only recall is bounded — a
+    pair sharing ONLY ubiquitous shingles is missed, the declared trade
+    (a doc that overlaps an eval item solely in boilerplate is not a
+    leak). The benchmark side stays uncapped and broadcast. Work per
+    shingle is ≤ df_cap · bench-df — structural, not policy.
+    ``df_cap=None`` restores the unguarded single posting join.
     """
-    d = _posting_list(docs, "doc_id")
-    b = _posting_list(benchmark, "bench_id")
+    if df_cap is None:
+        d = _posting_list(docs, "doc_id")
+        b = _posting_list(benchmark, "bench_id")
+        return (
+            d.join(F.broadcast(b), "shingle")
+            .groupBy("doc_id", "bench_id")
+            .agg(F.count("*").alias("shared_shingles"))
+            .filter(F.col("shared_shingles") >= min_shared)
+        )
+    if df_cap < 1:
+        raise ValueError("df_cap must be >= 1 (or None to disable)")
+    # persisted: the corpus shingle arrays feed candidate generation AND
+    # the exact-verify join; without materialization each branch re-runs
+    # the shingle build on the scan (the _shingled() contract).
+    d_sh = track_persisted(
+        spread(
+            docs.selectExpr("doc_id", f"{_TOKS_SPARK} AS toks").selectExpr(
+                "doc_id", f"{_SHINGLES_FROM_TOKS_SPARK} AS shingles"
+            )
+        ).persist()
+    )
+    posts = d_sh.select("doc_id", F.explode_outer("shingles").alias("shingle"))
+    keep = posts.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("shingle"))
+    ).filter(F.col("_df") <= df_cap)
+    b_sh = spread(
+        benchmark.selectExpr("bench_id", f"{_TOKS_SPARK} AS toks").selectExpr(
+            "bench_id", f"{_SHINGLES_FROM_TOKS_SPARK} AS shingles"
+        )
+    )
+    b_posts = b_sh.select(
+        "bench_id", F.explode_outer("shingles").alias("shingle")
+    )
+    cand = (
+        keep.join(F.broadcast(b_posts), "shingle")
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
     return (
-        d.join(F.broadcast(b), "shingle")
-        .groupBy("doc_id", "bench_id")
-        .agg(F.count("*").alias("shared_shingles"))
+        cand.join(d_sh, "doc_id")
+        .join(
+            F.broadcast(b_sh.select("bench_id", F.col("shingles").alias("b_sh"))),
+            "bench_id",
+        )
+        .select(
+            "doc_id",
+            "bench_id",
+            F.size(F.array_intersect("shingles", "b_sh"))
+            .cast("long")
+            .alias("shared_shingles"),
+        )
         .filter(F.col("shared_shingles") >= min_shared)
     )
 
@@ -1176,7 +1258,7 @@ QUERIES = {
     "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
     "dedup_simhash": dedup_simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
-    "ngram_jaccard_block_capped": ngram_jaccard_block_capped,
+    "ngram_jaccard_block_capped": ngram_jaccard_block_capped_gate,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_connected_components": dedup_connected_components,
     "benchmark_contamination": benchmark_contamination_query,
