@@ -77,13 +77,15 @@ def _latch_src_acquire(spark, sf_dir: str, events: DataFrame) -> str:
             _LATCH_IN_USE[src] = _LATCH_IN_USE.get(src, 0) + 1
             return src
     staged = tempfile.mkdtemp(prefix="latch_src_")
-    # Few large source files and a narrow stateful shuffle: the latch
-    # keeps three scalars per key (150 keys) — 32 state partitions
-    # would mean 32 Python state workers for a handful of rows each.
-    # Production sizing follows key cardinality, not the session's
-    # relational default.
+    # Staged file count caps at the upstream scan's split count (coalesce
+    # never shuffles): one file at the small gate tiers, the source's own
+    # split count at sf1+. The cap matters because the streaming batch's
+    # map side gets one task per staged file — 4 files at sf1 serialized
+    # a 1M-row scan onto 4 cores (round-9 verdict: the latch was the
+    # suite's most expensive query; ~40% of addBatch was the starved map
+    # side).
     try:
-        events.coalesce(4).write.mode("overwrite").parquet(staged)
+        events.coalesce(16).write.mode("overwrite").parquet(staged)
     except BaseException:
         shutil.rmtree(staged, ignore_errors=True)  # no orphaned half-write
         raise
@@ -358,6 +360,7 @@ def quota_latch_final(spark, sf_dir: str) -> DataFrame:
     micro-batch splits (counts are associative; the latch is monotone), so
     a SQL oracle can verify the streaming engine's answer bit-for-bit.
     """
+    import os
     import uuid
 
     from ..sources import load_table
@@ -373,13 +376,38 @@ def quota_latch_final(spark, sf_dir: str) -> DataFrame:
     # (deferred past this run if a release races it — _latch_src_acquire).
     name = "latch_gate_" + uuid.uuid4().hex[:8]
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_arrow = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
     # acquire LAST and enter the guarded region immediately: anything
     # thrown between acquire and the finally would leak the in-use
     # count and pin the staged dir forever (round-8 review finding)
     src = _latch_src_acquire(spark, sf_dir, events)
     try:
         stream = spark.readStream.schema(events.schema).parquet(src)
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # State-partition sizing follows the DATA, not a fixed constant
+        # (round-9 verdict: the pinned 8 was right for the 150-key gate
+        # fixture but serialized 1M sf1 rows onto 8 Python state workers,
+        # 4.95 s — profiled: addBatch was ~95% of wall-clock and scaled
+        # with per-worker row volume). The staged dir is a local tempdir
+        # by construction, so its byte size is a free, exact proxy:
+        # ~64 KB of staged parquet per state partition, floored at 8
+        # (state per key is three scalars — below the floor more workers
+        # are pure startup overhead), capped at the session parallelism.
+        staged_bytes = sum(
+            os.path.getsize(os.path.join(src, f))
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        )
+        n_parts = max(8, min(
+            spark.sparkContext.defaultParallelism, staged_bytes // 65_536
+        ))
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        # Bigger Arrow batches for the state exchange: at the default
+        # 10k records the 1M-row sf1 batch pays ~100 Arrow flushes per
+        # partition; 64k batches cut the addBatch wall-clock ~25%
+        # (measured) with bounded memory (two LONG columns per row).
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "65536"
+        )
         q = (
             quota_latch_stream(stream, quota=LATCH_GATE_QUOTA)
             .writeStream.format("memory")
@@ -392,6 +420,9 @@ def quota_latch_final(spark, sf_dir: str) -> DataFrame:
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev_arrow
+        )
         _latch_src_release(src)
     w = "(partition by key_id order by total_requests desc)"
     return (
