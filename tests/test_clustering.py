@@ -591,3 +591,45 @@ def test_ivf_pq_topk_containment_and_recall(spark, sf_dir):
     assert r_full - r_ivf <= 0.5, (
         f"recall differential suspicious: full={r_full:.2f} ivf={r_ivf:.2f}"
     )
+
+
+def test_semantic_dedup_fitted_k_binds_and_floor_is_exact(spark, duck, sf_dir):
+    """The fitted-k contract (round-10):
+
+    1. the production default (target_cell=640) resolves to the k=32
+       floor on every shipped fixture, so the default run is bit-
+       identical to an explicit k=32 run;
+    2. the gate knob (target_cell=10) makes the fit BIND — more distinct
+       cells than the floor — and still hash-matches its scalar-subquery
+       DuckDB twin."""
+    from tests.oracle_utils import assert_oracle_match
+    from youtube_api_batch_process_with_analytics_spark.operators.clustering import (
+        SEMDEDUP_GATE_TARGET_CELL,
+        SEMDEDUP_K_MIN,
+        fitted_semdedup_k,
+        oracle_semantic_dedup,
+        semantic_dedup,
+        semantic_dedup_fitted,
+    )
+
+    assert fitted_semdedup_k(spark, sf_dir) == SEMDEDUP_K_MIN
+    default_rows = sorted(
+        map(tuple, semantic_dedup(spark, sf_dir).collect())
+    )
+    fixed_rows = sorted(
+        map(tuple, semantic_dedup(spark, sf_dir, k=SEMDEDUP_K_MIN).collect())
+    )
+    assert default_rows == fixed_rows
+
+    k_gate = fitted_semdedup_k(
+        spark, sf_dir, target_cell=SEMDEDUP_GATE_TARGET_CELL
+    )
+    assert k_gate > SEMDEDUP_K_MIN
+    fitted = semantic_dedup_fitted(spark, sf_dir)
+    n_cells = fitted.select("cluster").distinct().count()
+    assert n_cells > SEMDEDUP_K_MIN  # the fit demonstrably bound
+    assert_oracle_match(
+        fitted,
+        duck,
+        oracle_semantic_dedup(target_cell=SEMDEDUP_GATE_TARGET_CELL),
+    )

@@ -1116,22 +1116,61 @@ SEMDEDUP_COS_THRESHOLD = 0.3
 # k is SemDeDup's scale knob: within-cell pairing is Σ|cell|², so a
 # production run grows k with the corpus (the paper uses 50k clusters at
 # web scale) to hold cell sizes — and therefore per-cell quadratic work —
-# constant. 32 keeps the fixture's cells tight at every tier; the fit is
-# the same memoized integer-exact Lloyd as the k=8 gate model.
-SEMDEDUP_K = 32
+# constant. Round 10 makes that policy CODE (the round-9 verdict's one
+# super-linear data-path finding): the default k is FITTED from a
+# memoized count as max(SEMDEDUP_K_MIN, n_valid // SEMDEDUP_TARGET_CELL),
+# so the average cell — and with it the per-cell quadratic pair work —
+# stays ~constant as the corpus grows. The DuckDB twin computes the SAME
+# k from the same count via a scalar subquery, so the contract stays
+# cross-engine exact at every tier. The floor keeps every shipped
+# fixture ≤ sf1 at k=32 (n // 640 ≤ 31 there), i.e. bit-identical to the
+# fixed-k rounds; the first tier where the fit binds is sf3 (60k valid
+# vectors → k=93, average cell ~645 instead of ~1875).
+SEMDEDUP_K_MIN = 32
+SEMDEDUP_K = SEMDEDUP_K_MIN  # fixed-k alias (explicit-k callers, twins)
+SEMDEDUP_TARGET_CELL = 640
 
 
 SEMDEDUP_CELL_CAP = 4096
 SEMDEDUP_SUB_BITS = 16
 
 
+# (applicationId, sf_dir) -> count of valid (nonzero, well-formed)
+# embeddings — the base set of every clustering operator. A driver-side
+# VALUE cache (one BIGINT), same survival contract as the fitted model
+# caches: release_session_frames() pins no executor storage here.
+_N_VALID_CACHE: dict[tuple, int] = {}
+_N_VALID_LOCK = __import__("threading").Lock()
+
+
+def _n_valid(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _N_VALID_LOCK:
+        hit = _N_VALID_CACHE.get(key)
+    if hit is not None:
+        return hit
+    n = _quantized(spark, sf_dir).count()
+    with _N_VALID_LOCK:
+        _N_VALID_CACHE[key] = n
+    return n
+
+
+def fitted_semdedup_k(
+    spark: SparkSession, sf_dir: str, target_cell: int = SEMDEDUP_TARGET_CELL
+) -> int:
+    """SemDeDup's k ∝ N recipe as code: enough cells to hold the average
+    cell at ``target_cell`` vectors, floored at ``SEMDEDUP_K_MIN``."""
+    return max(SEMDEDUP_K_MIN, _n_valid(spark, sf_dir) // target_cell)
+
+
 def semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
-    k: int = SEMDEDUP_K,
+    k: int | None = None,
     tau: float = SEMDEDUP_COS_THRESHOLD,
     cell_cap: int | None = SEMDEDUP_CELL_CAP,
     sub_bits: int = SEMDEDUP_SUB_BITS,
+    target_cell: int = SEMDEDUP_TARGET_CELL,
 ) -> DataFrame:
     """SemDeDup-style cluster-scoped semantic deduplication (Abbas et al.
     2023, arXiv:2303.09540 — public method): assign every embedding to a
@@ -1143,8 +1182,14 @@ def semantic_dedup(
 
     Scale shape: pairing happens ONLY within a cell — Σ|cell|² work, the
     SemDeDup design point (clustering exists precisely so dedup never
-    compares across cells); k grows with the corpus (k ∝ √N keeps cells
-    bounded) and the pair join shuffles on the cell key alone. Numerics:
+    compares across cells); and with ``k=None`` (the default) k is FITTED
+    to the corpus as ``max(SEMDEDUP_K_MIN, n_valid // target_cell)`` from
+    a memoized count, holding the average cell — and the per-cell
+    quadratic work — constant as the corpus grows (round-9 verdict: the
+    fixed k=32 left pair work growing quadratically between sf1 and sf3).
+    The DuckDB twin computes the identical k via a scalar subquery over
+    the same valid-embedding set, so fitted runs stay hash-exact
+    cross-engine; the pair join shuffles on the cell key alone. Numerics:
     cosine over the 1e-3-quantized BIGINT vectors — integer-exact dot and
     norms, then one sqrt/multiply/divide IEEE chain and round-to-6 —
     bit-identical across engines (the pq_adc_topk contract). Degenerate
@@ -1181,6 +1226,8 @@ def semantic_dedup(
     """
     if cell_cap is not None and cell_cap < 1:
         raise ValueError("cell_cap must be >= 1 (or None to disable)")
+    if k is None:
+        k = fitted_semdedup_k(spark, sf_dir, target_cell)
     assigned, _ = _gate_kmeans(spark, sf_dir, k=k)
     nrm2 = F.aggregate(
         F.transform("qvec", lambda x: x * x),
@@ -1284,12 +1331,27 @@ def semantic_dedup(
     )
 
 
+def _semdedup_k_sql(k: int | None, target_cell: int) -> str:
+    """DuckDB expression for the cell count: the explicit k, or the
+    fitted-k scalar subquery — the EXACT twin of fitted_semdedup_k()
+    (same valid-embedding base set, same floor, same integer floor
+    division)."""
+    if k is not None:
+        return str(int(k))
+    return (
+        f"(SELECT GREATEST({SEMDEDUP_K_MIN}, COUNT(*) // {int(target_cell)})"
+        " FROM emb)"
+    )
+
+
 def oracle_semantic_dedup(
-    k: int = SEMDEDUP_K,
+    k: int | None = None,
     n_iter: int = KMEANS_GATE_ITERS,
     scale: int = QUANT_SCALE,
     tau: float = SEMDEDUP_COS_THRESHOLD,
+    target_cell: int = SEMDEDUP_TARGET_CELL,
 ) -> str:
+    k_sql = _semdedup_k_sql(k, target_cell)
     parts = [
         f"""WITH emb AS (
   SELECT vec_id,
@@ -1301,7 +1363,7 @@ qx AS (
   SELECT vec_id, generate_subscripts(qvec, 1) AS pos, unnest(qvec) AS x
   FROM emb
 ),
-a0 AS (SELECT vec_id, CAST(vec_id % {k} AS INTEGER) AS cluster FROM emb)"""
+a0 AS (SELECT vec_id, CAST(vec_id % {k_sql} AS INTEGER) AS cluster FROM emb)"""
     ]
     for r in range(1, n_iter + 1):
         parts.append(_oracle_round(r))
@@ -1331,6 +1393,32 @@ FROM v LEFT JOIN dups d USING (vec_id)
 ORDER BY v.vec_id"""
     )
     return "".join(parts)
+
+
+# Fitted-k gate knob: the production target (640) resolves to the k=32
+# floor at every shipped tier ≤ sf1 (n // 640 ≤ 31), so the default
+# semantic_dedup row can never show the fit BINDING. target_cell=10
+# makes it bind hard on the sf0.01 fixture (500 valid vectors → k=50,
+# ~10-vector cells), so the whole count → fitted-k → Lloyd → pair
+# dataflow gets hash-level cross-engine verification with a k the twin
+# must also DERIVE (scalar subquery), not just echo. Excluded from the
+# sf1 replica tier only: there the gate knob fits k=2000 and both
+# engines' Lloyd replicas go quadratic by construction (the
+# ngram_jaccard_pairs precedent); the production target is the one that
+# scales, and it is separately green at every tier.
+SEMDEDUP_GATE_TARGET_CELL = 10
+
+
+def semantic_dedup_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine attestation of ``semantic_dedup``'s fitted-k path
+    (round-9 verdict item 1, the ``semantic_dedup_capped`` precedent):
+    runs the SAME production function with a gate target small enough
+    that the fit binds on the fixture (k > the 32 floor), against a
+    DuckDB twin that computes the identical k from the identical count
+    via a scalar subquery."""
+    return semantic_dedup(
+        spark, sf_dir, target_cell=SEMDEDUP_GATE_TARGET_CELL
+    )
 
 
 # Gate-variant knobs, chosen so BOTH guard layers demonstrably fire on
@@ -1363,13 +1451,15 @@ def semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_semantic_dedup_capped(
-    k: int = SEMDEDUP_K,
+    k: int | None = None,
     n_iter: int = KMEANS_GATE_ITERS,
     scale: int = QUANT_SCALE,
     tau: float = SEMDEDUP_COS_THRESHOLD,
     cap: int = SEMDEDUP_GATE_CAP,
     sub_bits: int = SEMDEDUP_GATE_SUB_BITS,
+    target_cell: int = SEMDEDUP_TARGET_CELL,
 ) -> str:
+    k_sql = _semdedup_k_sql(k, target_cell)
     sign_key = " + ".join(
         f"CASE WHEN qvec[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
         for i in range(sub_bits)
@@ -1385,7 +1475,7 @@ qx AS (
   SELECT vec_id, generate_subscripts(qvec, 1) AS pos, unnest(qvec) AS x
   FROM emb
 ),
-a0 AS (SELECT vec_id, CAST(vec_id % {k} AS INTEGER) AS cluster FROM emb)"""
+a0 AS (SELECT vec_id, CAST(vec_id % {k_sql} AS INTEGER) AS cluster FROM emb)"""
     ]
     for r in range(1, n_iter + 1):
         parts.append(_oracle_round(r))
@@ -1526,6 +1616,7 @@ QUERIES = {
     "pq_adc_topk": pq_adc_topk,
     "ivf_pq_topk": ivf_pq_topk,
     "semantic_dedup": semantic_dedup,
+    "semantic_dedup_fitted": semantic_dedup_fitted,
     "semantic_dedup_capped": semantic_dedup_capped,
     "cluster_balanced_sample": cluster_balanced_sample,
 }
@@ -1537,6 +1628,9 @@ ORACLES = {
     "pq_adc_topk": oracle_pq_adc_topk(),
     "ivf_pq_topk": oracle_ivf_pq_topk(),
     "semantic_dedup": oracle_semantic_dedup(),
+    "semantic_dedup_fitted": oracle_semantic_dedup(
+        target_cell=SEMDEDUP_GATE_TARGET_CELL
+    ),
     "semantic_dedup_capped": oracle_semantic_dedup_capped(),
     "cluster_balanced_sample": oracle_cluster_balanced_sample(),
 }
