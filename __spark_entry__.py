@@ -605,6 +605,10 @@ _PLAN_CACHE_SKIP = {
     "dedup_connected_components",
     # embeds the weights checkpoint shared by the wmax broadcast
     "dsir_importance_weights",
+    # reads a session-staged post-retention layout whose path changes
+    # after release_session_frames() re-stages it — a cached plan would
+    # point at a deleted directory
+    "retention_applied",
 }
 # Round 7: tfidf/bigram/curation/perplexity left the skip set — their
 # checkpointed intermediates are now SESSION-MEMOIZED fitted artifacts

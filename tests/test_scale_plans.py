@@ -558,3 +558,40 @@ def test_day_partitioned_events_scan_prunes_partitions(spark, sf_dir, tmp_path):
     assert bad_pf is not None and not re.search(
         r"day#\d+ = ", bad_pf.group(1)
     ), bad_scan[:2000]
+
+
+def test_retention_applied_gate_reads_post_drop_layout(spark, duck, sf_dir):
+    """The gated retention_applied query (round-9 verdict item 7): its
+    session-staged root has demonstrably FEWER day directories than a
+    fresh layout of the same corpus (the drop really ran), and the
+    post-drop read hash-matches the keep-side oracle on the original
+    table."""
+    import os
+
+    from tests.oracle_utils import assert_oracle_match
+    from youtube_api_batch_process_with_analytics_spark.sources import (
+        load_table,
+        write_events_day_partitioned,
+    )
+    from youtube_api_batch_process_with_analytics_spark.sources.partitioned import (
+        ORACLE_RETENTION_APPLIED,
+        retention_applied,
+        retention_applied_root,
+    )
+
+    out = retention_applied(spark, sf_dir)
+    assert_oracle_match(out, duck, ORACLE_RETENTION_APPLIED)
+
+    root = retention_applied_root(spark, sf_dir)
+    post_days = {d for d in os.listdir(root) if d.startswith("day=")}
+    import tempfile
+
+    fresh = tempfile.mkdtemp(prefix="retention_fresh_")
+    try:
+        write_events_day_partitioned(load_table(spark, sf_dir, "events"), fresh)
+        pre_days = {d for d in os.listdir(fresh) if d.startswith("day=")}
+    finally:
+        import shutil
+
+        shutil.rmtree(fresh, ignore_errors=True)
+    assert post_days < pre_days  # strictly fewer: expired days are GONE

@@ -205,6 +205,11 @@ GROUP BY event_type ORDER BY level
 """
 
 
+from ..sources.partitioned import (  # noqa: E402 — avoids a sources/operators import cycle at module top
+    ORACLE_RETENTION_APPLIED as _ORACLE_RETENTION_APPLIED,
+    retention_applied as _retention_applied,
+)
+
 QUERIES = {
     "log_page": log_page,
     "pagination_meta": pagination_meta,
@@ -212,6 +217,7 @@ QUERIES = {
     "top_loggers": top_loggers,
     "recent_level_stats": recent_level_stats,
     "retention_cleanup": retention_cleanup,
+    "retention_applied": _retention_applied,
 }
 
 ORACLES = {
@@ -221,4 +227,5 @@ ORACLES = {
     "top_loggers": ORACLE_TOP_LOGGERS,
     "recent_level_stats": ORACLE_RECENT_LEVEL_STATS,
     "retention_cleanup": ORACLE_RETENTION_CLEANUP,
+    "retention_applied": _ORACLE_RETENTION_APPLIED,
 }
