@@ -211,11 +211,22 @@ def dedup_minhash_lsh(
     ]
     # Equality key over the full signature — the guard only ever GROUPS
     # and JOINS on it, never outputs it, so any injective-in-practice
-    # function of (h0..h7) yields the identical equivalence classes. A
-    # LONG xxhash64 shuffles/sorts/compares ~4x cheaper than the 32-char
-    # md5 hex the oracle twin uses for the same classes (round 9).
-    sig_key = F.xxhash64(
-        *[F.col(f"h{p}") for p in range(N_PERMUTATIONS)]
+    # function of (h0..h7) yields the identical equivalence classes.
+    # Round-9 ADVICE: a single 64-bit key made "injective in practice"
+    # load-bearing for gate parity with the md5-keyed twin (one collision
+    # between two signature classes inside an oversized bucket would
+    # merge their sub-groups). The key is therefore a STRUCT of two
+    # INDEPENDENT xxhash64 draws (the second salted), pushing the
+    # collision bound to ~2^-128 — the md5 twin's regime — while a
+    # 16-byte struct still shuffles/sorts/compares ~2x cheaper than the
+    # 32-char md5 hex string it replaces.
+    sig_key = F.struct(
+        F.xxhash64(*[F.col(f"h{p}") for p in range(N_PERMUTATIONS)]).alias(
+            "x1"
+        ),
+        F.xxhash64(
+            F.lit("sig_salt_2"), *[F.col(f"h{p}") for p in range(N_PERMUTATIONS)]
+        ).alias("x2"),
     ).alias("sig_key")
     banded = sig.select("doc_id", sig_key, *band_exprs).select(
         "doc_id",
@@ -232,13 +243,15 @@ def dedup_minhash_lsh(
         ).alias("b"),
     ).select("doc_id", "sig_key", "b.band_idx", "b.band_key")
 
-    # LONG sentinel for non-oversized buckets. Within any one (band_idx,
-    # band_key) bucket the sub column is EITHER all-sentinel (small
-    # bucket) or all-sig-hash (oversized) — the when-branch is a function
-    # of the bucket — so a sig class that happens to hash to the sentinel
-    # value cannot cross-contaminate anything: sub is only ever compared
-    # alongside the bucket key.
-    _SUB_NONE = F.lit(-1).cast("long")
+    # Struct sentinel for non-oversized buckets (same shape as sig_key).
+    # Within any one (band_idx, band_key) bucket the sub column is EITHER
+    # all-sentinel (small bucket) or all-sig-hash (oversized) — the
+    # when-branch is a function of the bucket — so a sig class that
+    # happens to hash to the sentinel value cannot cross-contaminate
+    # anything: sub is only ever compared alongside the bucket key.
+    _SUB_NONE = F.struct(
+        F.lit(-1).cast("long").alias("x1"), F.lit(-1).cast("long").alias("x2")
+    )
     if bucket_cap is None:
         pool = banded.withColumn("sub", _SUB_NONE)
         full = pool

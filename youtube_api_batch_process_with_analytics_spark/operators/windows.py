@@ -435,6 +435,15 @@ def key_rotation_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codegen for the entire probe stage (Spark 4.1: a non-equi residual
     # over both sides' attributes drops the stage to interpreted mode —
     # 28s vs 3s on the sf1 tier), so two equi broadcast joins it is.
+    #
+    # Broadcast bound (round-9 ADVICE): the forced hints below assume the
+    # (day, key_id) slots dim and the (day, hour) offsets dim stay
+    # broadcast-small. Both grow with the corpus's TIME SPAN, not its row
+    # count — slots = days × admitted keys (150 here), offsets ≤ days ×
+    # 24 — so at ~50 B/row even a 10-year corpus with 1000 keys is
+    # ~180 MB of slots; beyond that span, drop the hints and let the
+    # planner shuffle these joins (rows are identical either way). The
+    # fixture spans ≤ 1 year: well inside the bound at every tier.
     pool = admitted.groupBy("day").agg(F.count("*").alias("n_keys"))
     hour_w = W.partitionBy("day", "hour").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
@@ -546,7 +555,10 @@ def key_rotation_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     # persisted per invocation: slots and pool both read the admitted dim
     # and AQE does not dedup the duplicated chain — one computation,
-    # released via memo.release_session_frames()
+    # released via memo.release_session_frames(). The forced broadcasts
+    # below carry round_robin's day-span bound (see the note there):
+    # slots/pool grow with days × keys, not with request volume — drop
+    # the hints past a multi-year × thousands-of-keys span.
     admitted = track_persisted(_admitted_pool(events).persist())
     slot_w = W.partitionBy("day").orderBy(F.col("key_id").asc())
     slots = admitted.select(
