@@ -633,3 +633,23 @@ def test_semantic_dedup_fitted_k_binds_and_floor_is_exact(spark, duck, sf_dir):
         duck,
         oracle_semantic_dedup(target_cell=SEMDEDUP_GATE_TARGET_CELL),
     )
+
+
+def test_gemm_assign_bit_identical_to_expression_path(spark, sf_dir, monkeypatch):
+    """The Arrow GEMM assignment kernel is the EXACT twin of the
+    interpreted expression path: same integer distances (algebraic
+    expansion in int64), same double division, same lowest-cluster tie
+    break — assignments must agree row-for-row with the kernel forced on
+    and forced off, across every registered k shape (floor k=32 and the
+    binding gate fit)."""
+    import youtube_api_batch_process_with_analytics_spark.operators.clustering as cl
+
+    def run(query):
+        return sorted(map(tuple, query(spark, sf_dir).collect()))
+
+    for query in (cl.semantic_dedup, cl.semantic_dedup_fitted):
+        monkeypatch.setattr(cl, "GEMM_ASSIGN_MIN_WORK", 10**18)
+        expr_rows = run(query)
+        monkeypatch.setattr(cl, "GEMM_ASSIGN_MIN_WORK", 0)
+        gemm_rows = run(query)
+        assert expr_rows == gemm_rows and expr_rows

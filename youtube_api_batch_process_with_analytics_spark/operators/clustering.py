@@ -223,6 +223,75 @@ def _int_assign_expr(
     return F.expr(f"array_min(array({structs})).{field}")
 
 
+# Assignment-kernel selection: argmin-over-k×d is n·k·d work however it
+# runs, but the EXPRESSION form (k literal distance structs, interpreted
+# higher-order functions — codegen does not cover aggregate/zip_with)
+# costs ~50-100× more per term than a vectorized Arrow kernel. Below the
+# threshold the expression path wins anyway (no Python worker round-trip,
+# full column pruning, and the plan stays whole-stage); above it the
+# mapInPandas GEMM kernel takes over. The kernel is BIT-IDENTICAL, not
+# approximately equal: it computes the same integer-exact distance by
+# algebraic expansion — Σ(n·x−s)² = n²Σx² − 2nΣxs + Σs², exact in int64
+# (bound: n_cell·|q| < 3e9, i.e. quantized components within ±3e9/cell
+# size — the fixtures sit 6 orders of magnitude inside it) — then the
+# identical CAST-to-double division and the identical lowest-cluster tie
+# break, so the choice is invisible in results and gated tiers keep the
+# expression plan (sf0.01: n·k ≤ 25k at every registered k). Measured:
+# the k=200 gate fit at sf0.1 drops 12.2s → ~2s cold; semantic_dedup at
+# sf3 (n·k = 5.6M) drops ~18s → ~12s.
+GEMM_ASSIGN_MIN_WORK = 200_000  # n_rows × k
+
+
+def _gemm_assign(df: DataFrame, cents: dict[int, tuple[list[int], int]],
+                 field: str = "cluster", col: str = "qvec") -> DataFrame:
+    """Arrow-vectorized twin of ``_int_assign_expr`` (same argmin, same
+    integer-exact distances, same tie-break) — one batched integer GEMM
+    per Arrow batch instead of k interpreted fold expressions per row.
+    The sixth sanctioned Arrow kernel (PLANS.md)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    ids = sorted(cents)
+    S = np.array([cents[c][0] for c in ids], dtype=np.int64)  # (k, d)
+    nv = np.array([cents[c][1] for c in ids], dtype=np.int64)  # (k,)
+    ss = (S * S).sum(axis=1)  # (k,) Σs²
+    n2 = (nv * nv).astype(np.float64)  # divisor, exact below 2^53
+    nn = nv * nv  # int64 n² for the exact integer term
+    id_arr = np.array(ids, dtype=np.int32)
+    schema = T.StructType(df.schema.fields + [T.StructField(field, T.IntegerType())])
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                pdf[field] = np.array([], dtype=np.int32)
+                yield pdf
+                continue
+            X = np.stack(pdf[col].to_numpy()).astype(np.int64)  # (b, d)
+            xx = (X * X).sum(axis=1)  # (b,) Σx²
+            cross = X @ S.T  # (b, k) Σx·s — integer matmul, exact
+            d_int = nn * xx[:, None] - 2 * nv * cross + ss  # (b, k)
+            dval = d_int.astype(np.float64) / n2
+            pdf[field] = id_arr[np.argmin(dval, axis=1)]
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+def _assign_cluster(
+    df: DataFrame,
+    cents: dict[int, tuple[list[int], int]],
+    n_rows: int,
+    field: str = "cluster",
+    col: str = "qvec",
+) -> DataFrame:
+    """Route the argmin assignment through the expression or the GEMM
+    kernel by work volume (``GEMM_ASSIGN_MIN_WORK``); results are
+    bit-identical either way."""
+    if n_rows * len(cents) >= GEMM_ASSIGN_MIN_WORK:
+        return _gemm_assign(df, cents, field=field, col=col)
+    return df.withColumn(field, _int_assign_expr(cents, field=field, col=col))
+
+
 # Memoized Lloyd "models": the centroid matrices are deterministic given
 # (data, k, n_iter), so repeat invocations inside one session — the bench
 # runs every query twice; ann_ivf_kmeans composes on kmeans_cells — reuse
@@ -249,9 +318,10 @@ def _gate_kmeans(
     with _KMEANS_CACHE_LOCK:
         hit = _KMEANS_MODEL_CACHE.get(key)
     emb = _quantized(spark, sf_dir)
+    n = _n_valid(spark, sf_dir)
     if hit is not None:
         cents, final_cents = hit
-        return emb.withColumn("cluster", _int_assign_expr(cents)), final_cents
+        return _assign_cluster(emb, cents, n), final_cents
     cached = emb.persist()
     try:
         assigned = cached.withColumn(
@@ -259,13 +329,13 @@ def _gate_kmeans(
         )
         for _ in range(n_iter):
             cents = _int_centroids(assigned)
-            assigned = cached.withColumn("cluster", _int_assign_expr(cents))
+            assigned = _assign_cluster(cached, cents, n)
         final_cents = _int_centroids(assigned)
     finally:
         cached.unpersist()
     with _KMEANS_CACHE_LOCK:
         _KMEANS_MODEL_CACHE[key] = (cents, final_cents)
-    return emb.withColumn("cluster", _int_assign_expr(cents)), final_cents
+    return _assign_cluster(emb, cents, n), final_cents
 
 
 def kmeans_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
