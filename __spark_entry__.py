@@ -523,55 +523,99 @@ def entry(spark: SparkSession) -> DataFrame:
 #     video_format_flat (promoted); pricing_summary → grouping via
 #     revenue_rollup + daily_event_pivot (promoted) +
 #     channel_video_metrics (keeper).
+# ROUND-10 ROTATION: the 48 round-9 tail queries promote back into the
+# head (completing the r9 ∪ r10 two-round coverage contract — the
+# promotions include benchmark_contamination, whose corpus-side posting
+# list gained the stop-shingle df guard this round, and the clustering
+# family ann_ivf_kmeans/pq_codes/pq_adc_topk/ann_ivf_topk/
+# semantic_dedup_capped/cluster_balanced_sample, whose shared fit now
+# takes the memoized valid-count and the work-routed GEMM assignment —
+# all need fresh driver rows for the changed dataflow anyway), joined by
+# the TWO new queries (first driver rows, filling the head to exactly
+# 50 with zero keeper slots left):
+#   semantic_dedup_fitted — the fitted-k path's cross-engine attestation
+#     (gate target makes the fit BIND at sf0.01, k=50 > the 32 floor;
+#     the DuckDB twin derives the same k via a scalar subquery);
+#   retention_applied — the partition-drop retention pass's capstone
+#     (read the post-drop layout, match the keep-side oracle on the
+#     original table — the mutating path's first driver row).
+# The 50 demoted queries below are ALL hash-green in CORRECTNESS_r09.json
+# and re-attested by this round's four-tier GATECHECK replica on the
+# final HEAD; each leaves its family covered in the head. Five of them
+# changed dataflow this round and would ordinarily be keepers — with the
+# head exactly full, each rides the pq_adc_topk precedent (r9): outputs
+# bit-identical by construction, four-tier replica re-attests on this
+# exact HEAD, and a head row exercises the same changed machinery:
+#   semantic_dedup / semantic_dedup_capped — fitted-k default resolves
+#     to the k=32 floor at every gated tier (pinned by pytest:
+#     floor-exactness vs explicit k=32); the BINDING path earns its own
+#     head row via semantic_dedup_fitted, which runs the same production
+#     function + the same count→k→fit chain;
+#   quota_latch_final — sizing-only change (staging split count,
+#     byte-sized state partitions, 64k Arrow batches); the latch
+#     operator and its rows are untouched (tools/profile_latch.py and
+#     the streaming pytests pin it);
+#   dedup_embedding_cosine — plan restructure (vectors ride the band
+#     join, dedup after threshold); values bit-identical (duplicate
+#     candidates carry identical cosines), re-verified at all four tiers
+#     this round;
+#   dedup_minhash_lsh / dedup_minhash_lsh_capped — the guard's signature
+#     key became a two-hash struct (equivalence classes unchanged unless
+#     a 64-bit collision existed; none on any tier — replica-attested);
+#   ngram_jaccard_block_capped — only the function DEFAULT changed
+#     (production df cap); the gate row passes the gate knob explicitly,
+#     so its dataflow is byte-identical to the r9 row.
 _GATE_TAIL = [
-    "pq_adc_topk",
-    "dim_broadcast_join",
-    "rolling_daily_average",
-    "key_rotation_least_used",
-    "hourly_usage_windows",
-    "rate_limit_pacer",
-    "retry_schedule",
-    "doc_repetition_stats",
-    "winnowing_fingerprints",
-    "doc_text_stats",
-    "language_id",
-    "redact_pii",
-    "dedup_connected_components",
-    "benchmark_contamination",
-    "duplicate_spans",
-    "remove_duplicate_spans",
-    "doc_novelty",
-    "source_overlap_matrix",
-    "export_pipeline",
-    "bpe_fertility",
-    "pack_sequences_bpe",
-    "chunk_documents",
-    "split_by_hash",
-    "pack_sequences",
-    "ann_ivf_kmeans",
-    "pq_codes",
-    "semantic_dedup_capped",
-    "cluster_balanced_sample",
-    "corpus_sample_hash",
-    "stratified_sample",
-    "mixture_temperature_sample",
-    "global_shuffle_shards",
-    "token_budget_allocation",
-    "dsir_importance_weights",
-    "tfidf_top_terms",
-    "bm25_search",
-    "perplexity_buckets",
-    "ann_ivf_topk",
-    "media_metadata_stats",
-    "media_resize",
-    "media_frame_sample",
-    "video_type_distribution",
-    "duration_parse",
-    "batch_union_envelope",
-    "events_asof_latest_order",
-    "approx_usage_sketch",
-    "channel_format_flat",
-    "pricing_summary",
+    "channel_video_metrics",
+    "channel_type_classification",
+    "final_metrics_struct",
+    "language_mode",
+    "language_distribution",
+    "enrichment_join",
+    "semi_join_lookup",
+    "log_page",
+    "pagination_meta",
+    "log_level_stats",
+    "top_loggers",
+    "recent_level_stats",
+    "retention_cleanup",
+    "daily_usage_windows",
+    "key_rotation_round_robin",
+    "key_rotation_seeded",
+    "key_usage_rollup",
+    "cache_ttl_filter",
+    "user_sessions",
+    "distinct_usage_stats",
+    "corpus_curation_funnel",
+    "curation_pipeline_v2",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
+    "dedup_simhash",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_block_capped",
+    "dedup_embedding_cosine",
+    "bpe_merges",
+    "kmeans_cells",
+    "ivf_pq_topk",
+    "semantic_dedup",
+    "bigram_lm_quality",
+    "ann_cosine_topk",
+    "ann_vectorized_bound",
+    "media_decode_features",
+    "set_ops_user_cohorts",
+    "email_topic_projection",
+    "json_props_metrics",
+    "cache_status_rollup",
+    "quota_latch_final",
+    "rss_xml_roundtrip",
+    "events_in_order_window",
+    "revenue_rollup",
+    "daily_event_pivot",
+    "language_fallback_resolution",
+    "video_format_flat",
+    "channel_by_handle",
 ]
 
 
