@@ -68,14 +68,17 @@ def main() -> None:
         print(f"{name:32s} min={min(samples):7.3f}  reps={samples}", flush=True)
     release_session_frames()
     if json_out:
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         with open(json_out, "w") as f:
             json.dump(
                 {
-                    "metric": "subset_total",
+                    "metric": "suite_total",
                     "value": round(sum(timings.values()), 3),
                     "unit": "sec",
                     "queries": timings,
                     "cold": cold,
+                    "cold_total": round(sum(cold.values()), 3),
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                     "sf_dir": sf_dir,
                     "reps": reps,
                 },
