@@ -1161,9 +1161,6 @@ def benchmark_contamination(
         ).persist()
     )
     posts = d_sh.select("doc_id", F.explode_outer("shingles").alias("shingle"))
-    keep = posts.withColumn(
-        "_df", F.count("*").over(Window.partitionBy("shingle"))
-    ).filter(F.col("_df") <= df_cap)
     b_sh = spread(
         benchmark.selectExpr("bench_id", f"{_TOKS_SPARK} AS toks").selectExpr(
             "bench_id", f"{_SHINGLES_FROM_TOKS_SPARK} AS shingles"
@@ -1172,6 +1169,18 @@ def benchmark_contamination(
     b_posts = b_sh.select(
         "bench_id", F.explode_outer("shingles").alias("shingle")
     )
+    # Note on a rejected variant: a broadcast semi-join pre-filter of the
+    # posting list against the bench shingles (per-shingle, so retained
+    # dfs are unchanged) would shrink the df window's input to the
+    # bench-relevant slice — the right move when the corpus posting list
+    # is petabyte-scale — but MEASURED SLOWER at every fixture tier
+    # (sf0.1 1.7→2.5 s, sf3 4.6→5.9 s): the extra broadcast barrier and
+    # a third evaluation of the bench shingle expression cost more than
+    # the window saves here. Revisit only if the full-corpus df window
+    # becomes the measured bottleneck.
+    keep = posts.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("shingle"))
+    ).filter(F.col("_df") <= df_cap)
     cand = (
         keep.join(F.broadcast(b_posts), "shingle")
         .select("doc_id", "bench_id")
