@@ -565,6 +565,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #   ngram_jaccard_block_capped — only the function DEFAULT changed
 #     (production df cap); the gate row passes the gate knob explicitly,
 #     so its dataflow is byte-identical to the r9 row.
+#
+# ROTATION CAPACITY NOTE FOR ROUND 11+: at 100 registered queries the
+# two-round contract exactly saturates the 50-slot gate — the r11 head
+# must be precisely the 50 queries below, with room for ZERO new
+# registrations. Any new query in r11 therefore requires either
+# (a) retiring/merging an existing query (e.g. folding a gate-knob
+# attestation variant into its production twin once both have two
+# consecutive green rounds), or (b) moving one family to a three-round
+# rotation with the weaker recorded-verification status declared.
 _GATE_TAIL = [
     "channel_video_metrics",
     "channel_type_classification",
