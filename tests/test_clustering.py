@@ -653,3 +653,52 @@ def test_gemm_assign_bit_identical_to_expression_path(spark, sf_dir, monkeypatch
         monkeypatch.setattr(cl, "GEMM_ASSIGN_MIN_WORK", 0)
         gemm_rows = run(query)
         assert expr_rows == gemm_rows and expr_rows
+
+
+def test_gemm_assign_property_differential(spark):
+    """Property differential for the GEMM kernel on synthetic integer
+    vectors: random qvecs and random (sum, count) centroid dicts —
+    including magnitudes near the documented exactness envelope
+    (n_cell·|q| well below 3e9) and exact-tie constructions — must
+    produce identical assignments through both paths. Seeded, not
+    hypothesis-driven, so the fixture is reproducible."""
+    import random
+
+    import numpy as np
+
+    import youtube_api_batch_process_with_analytics_spark.operators.clustering as cl
+
+    rng = random.Random(20260816)
+    d = 16
+    for trial in range(3):
+        n_rows, k = 200, rng.choice([3, 7, 17])
+        rows = [
+            (i, [rng.randint(-8000, 8000) for _ in range(d)])
+            for i in range(n_rows)
+        ]
+        # exact-tie construction: duplicate vectors (equal distance to
+        # every centroid) exercise the lowest-cluster tie-break
+        rows += [(n_rows + j, list(rows[0][1])) for j in range(3)]
+        df = spark.createDataFrame(rows, "vec_id long, qvec array<long>")
+        cents = {
+            c: (
+                [rng.randint(-8000 * 50, 8000 * 50) for _ in range(d)],
+                rng.randint(1, 50),
+            )
+            for c in rng.sample(range(100), k)  # non-contiguous ids
+        }
+        expr_rows = dict(
+            df.withColumn("cluster", cl._int_assign_expr(cents))
+            .select("vec_id", "cluster")
+            .collect()
+        )
+        gemm_rows = dict(
+            cl._gemm_assign(df, cents).select("vec_id", "cluster").collect()
+        )
+        assert expr_rows == gemm_rows, f"trial {trial} diverged"
+        # envelope sanity: the largest |n·x − s| term stays far inside
+        # int64 when squared and summed over d
+        n_max = max(n for _, n in cents.values())
+        s_max = max(abs(v) for s, _ in cents.values() for v in s)
+        term = n_max * 8000 + s_max
+        assert d * term * term < 2**63 - 1

