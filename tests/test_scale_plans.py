@@ -595,3 +595,34 @@ def test_retention_applied_gate_reads_post_drop_layout(spark, duck, sf_dir):
 
         shutil.rmtree(fresh, ignore_errors=True)
     assert post_days < pre_days  # strictly fewer: expired days are GONE
+
+
+def test_retention_drop_days_no_aged_rows_is_noop(spark, tmp_path):
+    """An events layout whose every row has NULL ts has no age anchor:
+    the pass must return the zero audit and leave the layout untouched
+    (the anchor-None early return, previously unpinned)."""
+    import os
+
+    from youtube_api_batch_process_with_analytics_spark.sources import (
+        write_events_day_partitioned,
+    )
+    from youtube_api_batch_process_with_analytics_spark.sources.partitioned import (
+        retention_drop_days,
+    )
+
+    events = spark.createDataFrame(
+        [(i, "click", None) for i in range(20)],
+        "user_id long, event_type string, ts timestamp",
+    )
+    root = str(tmp_path / "null_ts_events")
+    write_events_day_partitioned(events, root)
+    before = sorted(os.listdir(root))
+    audit = retention_drop_days(spark, root, days=7)
+    assert audit == {
+        "kept": 0,
+        "deleted": 0,
+        "dropped_days": [],
+        "rewritten_days": [],
+        "untouched_days": [],
+    }
+    assert sorted(os.listdir(root)) == before

@@ -718,3 +718,32 @@ def test_latch_gate_sizing_responds_to_data(spark, sf_dir):
             _latch_src_release(src2)
     finally:
         _latch_src_release(src)
+
+
+def test_quota_latch_stream_empty_source_completes(spark, tmp_path):
+    """An empty staged source (schema-only parquet) must complete the
+    availableNow run cleanly with an empty memory table — the gate query
+    cannot hang or crash on a corpus with zero events."""
+    import uuid
+
+    from youtube_api_batch_process_with_analytics_spark.streaming.state import (
+        quota_latch_stream,
+    )
+
+    src = str(tmp_path / "empty_events")
+    spark.createDataFrame(
+        [], "user_id long, event_type string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    name = "latch_empty_" + uuid.uuid4().hex[:8]
+    stream = spark.readStream.schema("user_id long, event_type string").parquet(src)
+    q = (
+        quota_latch_stream(stream, quota=5)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    assert spark.sql(f"select * from {name}").count() == 0
