@@ -574,6 +574,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # attestation variant into its production twin once both have two
 # consecutive green rounds), or (b) moving one family to a three-round
 # rotation with the weaker recorded-verification status declared.
+# Fold (a) is PRE-PROVEN for the clustering pair: one query running
+# semantic_dedup with the fitted gate target AND both cap-guard knobs
+# hash-matches a single combined twin
+# (tests/test_clustering.py::test_semdedup_combined_gate_fold_is_feasible),
+# so merging semantic_dedup_fitted + semantic_dedup_capped frees a slot
+# as a mechanical registry change.
 _GATE_TAIL = [
     "channel_video_metrics",
     "channel_type_classification",

@@ -702,3 +702,41 @@ def test_gemm_assign_property_differential(spark):
         s_max = max(abs(v) for s, _ in cents.values() for v in s)
         term = n_max * 8000 + s_max
         assert d * term * term < 2**63 - 1
+
+
+def test_semdedup_combined_gate_fold_is_feasible(spark, duck, sf_dir):
+    """Round-11 capacity pre-proof: the two gate-knob attestation
+    queries (semantic_dedup_fitted, semantic_dedup_capped) can FOLD into
+    one registered query that exercises the fitted-k path AND both
+    mega-cell guard layers simultaneously against one combined twin —
+    verified hash-exact here so the fold (which frees a head slot for
+    any round-11 registration) is a mechanical registry change, not new
+    verification work."""
+    from tests.oracle_utils import assert_oracle_match
+    from youtube_api_batch_process_with_analytics_spark.operators.clustering import (
+        SEMDEDUP_GATE_CAP,
+        SEMDEDUP_GATE_SUB_BITS,
+        SEMDEDUP_GATE_TARGET_CELL,
+        SEMDEDUP_K_MIN,
+        oracle_semantic_dedup_capped,
+        semantic_dedup,
+    )
+
+    combined = semantic_dedup(
+        spark,
+        sf_dir,
+        cell_cap=SEMDEDUP_GATE_CAP,
+        sub_bits=SEMDEDUP_GATE_SUB_BITS,
+        target_cell=SEMDEDUP_GATE_TARGET_CELL,
+    )
+    # the fitted k binds (more cells than the floor) while the tiny cap
+    # forces both guard layers — one run covers everything the two
+    # separate gate rows cover
+    assert combined.select("cluster").distinct().count() > SEMDEDUP_K_MIN
+    assert_oracle_match(
+        combined,
+        duck,
+        oracle_semantic_dedup_capped(
+            k=None, target_cell=SEMDEDUP_GATE_TARGET_CELL
+        ),
+    )
