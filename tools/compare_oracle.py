@@ -95,6 +95,13 @@ def main():
                         print(f"  spark: {x.replace(chr(31), ' | ')}")
                         print(f"  duck : {y.replace(chr(31), ' | ')}")
                         break
+    # drop the session-staged artifacts (latch source, post-retention
+    # layout) — tempdirs otherwise outlive the process, one set per run
+    from youtube_api_batch_process_with_analytics_spark.operators.memo import (
+        release_session_frames,
+    )
+
+    release_session_frames()
     spark.stop()
     sys.exit(1 if failures else 0)
 
