@@ -183,3 +183,75 @@ def test_latch_source_release_defers_while_in_use(tmp_path):
         st._LATCH_SRC_CACHE[key] = str(idle)
     st._release_latch_sources()
     assert not os.path.exists(idle)
+
+
+def test_retention_root_release_defers_while_in_use(tmp_path):
+    """ADVICE r10: the retention staged root reuses the latch's
+    in-use/doomed discipline — release must never rmtree the post-drop
+    layout out from under an executing retention_applied scan. Pure
+    bookkeeping, no Spark needed."""
+    import os
+
+    from youtube_api_batch_process_with_analytics_spark.sources import (
+        partitioned as pt,
+    )
+
+    staged = tmp_path / "retention_fake"
+    staged.mkdir()
+    (staged / "day=2026-01-01").mkdir()
+    key = ("app-test", "sf-test", 7)
+    with pt._RETENTION_LOCK:
+        pt._RETENTION_CACHE[key] = str(staged)
+        pt._RETENTION_IN_USE[str(staged)] = 1  # simulate an active scan
+
+    pt._release_retention_roots()
+    assert os.path.isdir(staged)  # still on disk: scan active
+    with pt._RETENTION_LOCK:
+        assert key not in pt._RETENTION_CACHE  # but unlinked from cache
+        assert str(staged) in pt._RETENTION_DOOMED
+
+    pt._retention_root_release(str(staged))  # last handle drops
+    assert not os.path.exists(staged)
+    with pt._RETENTION_LOCK:
+        assert str(staged) not in pt._RETENTION_IN_USE
+        assert str(staged) not in pt._RETENTION_DOOMED
+
+    # idle roots are deleted synchronously by release
+    idle = tmp_path / "retention_idle"
+    idle.mkdir()
+    with pt._RETENTION_LOCK:
+        pt._RETENTION_CACHE[key] = str(idle)
+    pt._release_retention_roots()
+    assert not os.path.exists(idle)
+
+
+def test_retention_applied_handle_pins_staged_root(spark, sf_dir):
+    """The refcount brackets the HANDLE's lifetime: a release while a
+    retention_applied frame is live defers the rmtree; the frame still
+    collects correctly afterwards; dropping the last handle performs the
+    deferred delete."""
+    import gc
+    import os
+
+    from youtube_api_batch_process_with_analytics_spark.sources import (
+        partitioned as pt,
+    )
+
+    memo.release_session_frames()
+    out = pt.retention_applied(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, pt.RETENTION_DAYS)
+    with pt._RETENTION_LOCK:
+        root = pt._RETENTION_CACHE[key]
+        assert pt._RETENTION_IN_USE.get(root) == 1
+
+    memo.release_session_frames()  # races the live handle
+    assert os.path.isdir(root)  # deferred: handle still live
+    rows = out.collect()  # the scan the old code would have broken
+    assert len(rows) > 0
+
+    del out
+    gc.collect()
+    assert not os.path.exists(root)  # last handle performed the delete
+    with pt._RETENTION_LOCK:
+        assert root not in pt._RETENTION_IN_USE
+        assert root not in pt._RETENTION_DOOMED

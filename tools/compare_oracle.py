@@ -58,6 +58,23 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    try:
+        failures = _run(spark, con, qs, oracles, sf_dir, only)
+    finally:
+        # drop the session-staged artifacts (latch source, post-retention
+        # layout) even when a query raises — tempdirs otherwise outlive
+        # the process, one set per run
+        from youtube_api_batch_process_with_analytics_spark.operators.memo import (
+            release_session_frames,
+        )
+
+        release_session_frames()
+        spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+def _run(spark, con, qs, oracles, sf_dir, only):
+    failures = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -95,15 +112,7 @@ def main():
                         print(f"  spark: {x.replace(chr(31), ' | ')}")
                         print(f"  duck : {y.replace(chr(31), ' | ')}")
                         break
-    # drop the session-staged artifacts (latch source, post-retention
-    # layout) — tempdirs otherwise outlive the process, one set per run
-    from youtube_api_batch_process_with_analytics_spark.operators.memo import (
-        release_session_frames,
-    )
-
-    release_session_frames()
-    spark.stop()
-    sys.exit(1 if failures else 0)
+    return failures
 
 
 if __name__ == "__main__":

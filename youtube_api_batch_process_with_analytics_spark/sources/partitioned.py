@@ -162,12 +162,15 @@ def retention_drop_days(
 # production table already lives in this layout and the pass runs on a
 # schedule, not per query); the releaser deletes the staged dirs so a
 # long-lived session holds at most one post-retention copy per corpus.
-# A frame returned by retention_applied() must not be executed across a
-# release — the same declared contract as the memoized localCheckpoint
-# artifacts (release_session_frames clears the entry-point plan cache in
-# the same pass).
+# Deletion is refcounted with the SAME acquire/release discipline as the
+# latch source (streaming/state.py): a root with active readers is only
+# UNLINKED from the cache at release time (marked doomed) and physically
+# deleted by the last reader's exit, so a release racing an executing
+# retention_applied scan can never rmtree the directory under the job.
 _RETENTION_LOCK = __import__("threading").Lock()
 _RETENTION_CACHE: dict[tuple, str] = {}
+_RETENTION_IN_USE: dict[str, int] = {}  # staged root -> active scans
+_RETENTION_DOOMED: set[str] = set()  # released while in use; delete on last exit
 
 RETENTION_DAYS = 7  # config parity with the gated retention_cleanup
 
@@ -178,8 +181,29 @@ def _release_retention_roots() -> None:
     with _RETENTION_LOCK:
         paths = list(_RETENTION_CACHE.values())
         _RETENTION_CACHE.clear()
-    for p in paths:
+        to_delete = []
+        for p in paths:
+            if _RETENTION_IN_USE.get(p):
+                _RETENTION_DOOMED.add(p)
+            else:
+                to_delete.append(p)
+    for p in to_delete:
         shutil.rmtree(p, ignore_errors=True)
+
+
+def _retention_root_release(root: str) -> None:
+    import shutil
+
+    with _RETENTION_LOCK:
+        n = _RETENTION_IN_USE.get(root, 0) - 1
+        if n > 0:
+            _RETENTION_IN_USE[root] = n
+            return
+        _RETENTION_IN_USE.pop(root, None)
+        doomed = root in _RETENTION_DOOMED
+        _RETENTION_DOOMED.discard(root)
+    if doomed:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 register_releaser(_release_retention_roots)
@@ -216,6 +240,26 @@ def retention_applied_root(
     return root
 
 
+def _retention_root_acquire(spark: SparkSession, sf_dir: str, days: int) -> str:
+    """``retention_applied_root`` plus an in-use count held until
+    ``_retention_root_release`` — the bracket that makes a concurrent
+    release defer the rmtree to this reader's exit. The increment happens
+    under the SAME lock acquisition that confirms the root is still
+    cached (latch discipline), so a release can never slip between the
+    lookup and the count."""
+    key = (spark.sparkContext.applicationId, sf_dir, days)
+    while True:
+        with _RETENTION_LOCK:
+            root = _RETENTION_CACHE.get(key)
+            if root is not None:
+                _RETENTION_IN_USE[root] = _RETENTION_IN_USE.get(root, 0) + 1
+                return root
+        # not staged (or released since): stage outside the lock, then
+        # retry the lookup-and-count — retention_applied_root dedups the
+        # benign first-caller race internally
+        retention_applied_root(spark, sf_dir, days)
+
+
 def retention_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gated capstone for the S8 retention path (round-9 verdict item 7):
     read the events table AFTER the real partition-drop pass
@@ -227,14 +271,30 @@ def retention_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``retention_cleanup`` query — drop + read ≡ filter. NULL-ts rows
     survive in the layout's NULL-day partition (no age, never retired)
     and are excluded from the report on both engines, mirroring
-    ``retention_cleanup``'s accounting."""
-    root = retention_applied_root(spark, sf_dir)
-    post = spark.read.parquet(root)
-    return (
-        post.filter(F.col("ts").isNotNull())
-        .groupBy(F.col("event_type").alias("level"))
-        .agg(F.count("*").alias("kept_count"))
-    )
+    ``retention_cleanup``'s accounting.
+
+    The staged root is ACQUIRED (refcounted) for the returned handle's
+    lifetime: the frame scans the directory lazily, and any thread
+    executing it necessarily holds a Python reference to it, so the
+    finalizer-driven release — and hence a doomed root's deferred
+    rmtree — cannot run while a scan is in flight. A
+    ``release_session_frames()`` racing an executing scan now only marks
+    the root doomed; the last live handle's collection deletes it."""
+    import weakref
+
+    root = _retention_root_acquire(spark, sf_dir, RETENTION_DAYS)
+    try:
+        post = spark.read.parquet(root)
+        out = (
+            post.filter(F.col("ts").isNotNull())
+            .groupBy(F.col("event_type").alias("level"))
+            .agg(F.count("*").alias("kept_count"))
+        )
+        weakref.finalize(out, _retention_root_release, root)
+    except BaseException:
+        _retention_root_release(root)
+        raise
+    return out
 
 
 ORACLE_RETENTION_APPLIED = f"""
