@@ -566,21 +566,84 @@ def entry(spark: SparkSession) -> DataFrame:
 #     (production df cap); the gate row passes the gate knob explicitly,
 #     so its dataflow is byte-identical to the r9 row.
 #
-# ROTATION CAPACITY NOTE FOR ROUND 11+: at 100 registered queries the
-# two-round contract exactly saturates the 50-slot gate — the r11 head
-# must be precisely the 50 queries below, with room for ZERO new
-# registrations. Any new query in r11 therefore requires either
-# (a) retiring/merging an existing query (e.g. folding a gate-knob
-# attestation variant into its production twin once both have two
-# consecutive green rounds), or (b) moving one family to a three-round
-# rotation with the weaker recorded-verification status declared.
-# Fold (a) is PRE-PROVEN for the clustering pair: one query running
-# semantic_dedup with the fitted gate target AND both cap-guard knobs
-# hash-matches a single combined twin
-# (tests/test_clustering.py::test_semdedup_combined_gate_fold_is_feasible),
-# so merging semantic_dedup_fitted + semantic_dedup_capped frees a slot
-# as a mechanical registry change.
+# ROUND-11 ROTATION: the 50 round-10 tail queries promote back into the
+# head — exactly as the round-10 capacity note required (the two-round
+# contract left ZERO head slots free). The registry shrinks 100 → 99 by
+# EXECUTING the pre-proven fold: semantic_dedup_fitted +
+# semantic_dedup_capped (both driver-green in CORRECTNESS_r10) retire
+# into the ONE combined gate row `semantic_dedup_gate_combined`, which
+# runs the production semantic_dedup with the fitted gate target AND
+# both mega-cell guard knobs against a single combined twin. Its
+# hash-exactness was pre-proven in round 10
+# (tests/test_clustering.py::test_semdedup_combined_gate_fold_is_feasible,
+# still pinned) and the new registry row is replica-attested at every
+# shipped tier this round (GATECHECK_r11); it sits in the tail below, so
+# its first DRIVER row lands in round 12 — declared: for round 11 the
+# combined row's verification is the pytest pin + the four-tier replica,
+# while the machinery it exercises keeps a same-round driver row through
+# the production semantic_dedup entry in this head. Net capacity: the
+# r12 head (= this 49-entry tail) has ONE free slot for a new
+# registration.
+# ROTATION CONTRACT CHECK (r11): r11 head = the 50 r10-tail queries;
+# r11 head ∪ r10 head = all 99 registered queries except the combined
+# row, whose coverage is carried by its two retired parents' r10 driver
+# rows plus this round's replica — every OTHER registered query has a
+# driver row in r10 or r11.
 _GATE_TAIL = [
+    "dim_broadcast_join",
+    "retention_applied",
+    "rolling_daily_average",
+    "key_rotation_least_used",
+    "hourly_usage_windows",
+    "rate_limit_pacer",
+    "retry_schedule",
+    "doc_repetition_stats",
+    "winnowing_fingerprints",
+    "doc_text_stats",
+    "language_id",
+    "redact_pii",
+    "dedup_connected_components",
+    "benchmark_contamination",
+    "duplicate_spans",
+    "remove_duplicate_spans",
+    "doc_novelty",
+    "source_overlap_matrix",
+    "export_pipeline",
+    "bpe_fertility",
+    "pack_sequences_bpe",
+    "chunk_documents",
+    "split_by_hash",
+    "pack_sequences",
+    "ann_ivf_kmeans",
+    "pq_codes",
+    "pq_adc_topk",
+    "semantic_dedup_gate_combined",
+    "cluster_balanced_sample",
+    "corpus_sample_hash",
+    "stratified_sample",
+    "mixture_temperature_sample",
+    "global_shuffle_shards",
+    "token_budget_allocation",
+    "dsir_importance_weights",
+    "tfidf_top_terms",
+    "bm25_search",
+    "perplexity_buckets",
+    "ann_ivf_topk",
+    "media_metadata_stats",
+    "media_resize",
+    "media_frame_sample",
+    "video_type_distribution",
+    "duration_parse",
+    "batch_union_envelope",
+    "events_asof_latest_order",
+    "approx_usage_sketch",
+    "channel_format_flat",
+    "pricing_summary",
+]
+
+# The round-10 tail (= the round-11 HEAD, kept for the contract check in
+# tests/test_oracle_parity.py):
+_R10_TAIL_NOW_HEAD = [
     "channel_video_metrics",
     "channel_type_classification",
     "final_metrics_struct",

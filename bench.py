@@ -98,17 +98,27 @@ def main() -> None:
     # query's rep-1 wall-clock (fit included, plus first-run codegen) so
     # the fit cost is visible per query, and README's bench-methodology
     # table states the asymmetry next to the ratios.
+    # `construction` records each query's rep-1 PLAN-BUILD wall-clock
+    # (the qs[name](...) call alone, before any action) — round-10
+    # verdict item 4: cold-suite creep was diffuse because driver-side
+    # construction time was never attributable per query. Reps 2-3 hit
+    # the prepared-plan cache, so rep 1 is the only build that costs
+    # anything; cold = construction + first execution, unchanged.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    construction: dict[str, float] = {}
     for name in sorted(qs):
         release_session_frames()
         best = float("inf")
         for rep in range(3):
             t0 = time.perf_counter()
-            _force(qs[name](spark, sf_dir))
+            df = qs[name](spark, sf_dir)
+            tc = time.perf_counter() - t0
+            _force(df)
             dt = time.perf_counter() - t0
             if rep == 0:
                 cold[name] = round(dt, 3)
+                construction[name] = round(tc, 3)
             best = min(best, dt)
         timings[name] = round(best, 3)
     release_session_frames()
@@ -121,6 +131,8 @@ def main() -> None:
         "queries": timings,
         "cold": cold,
         "cold_total": round(sum(cold.values()), 3),
+        "construction": construction,
+        "construction_total": round(sum(construction.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full per-query detail goes to a file (the driver's stdout capture

@@ -740,3 +740,51 @@ def test_semdedup_combined_gate_fold_is_feasible(spark, duck, sf_dir):
             k=None, target_cell=SEMDEDUP_GATE_TARGET_CELL
         ),
     )
+
+
+def test_gemm_envelope_check_routes_fallback(spark):
+    """ADVICE r10: the GEMM router must detect — on the driver, from
+    max|s|, n, and the centroid aggregate's own max|x| — when the
+    expanded intermediates could exceed int64, and keep the expression
+    path. Checked both ways: the exact boundary arithmetic, and the
+    router's plan choice under a forced-on work volume."""
+    import youtube_api_batch_process_with_analytics_spark.operators.clustering as cl
+
+    d = 4
+    # inside: d·(n·xb + s)² just under 2^63
+    xb = 10**6
+    n = 1000
+    s_in = int((2**63 / d) ** 0.5) - n * xb - 10**6
+    ok_cents = {0: ([s_in] * d, n), 1: ([-s_in] * d, n)}
+    assert cl._gemm_envelope_ok(ok_cents, xb)
+    # outside: bump max|s| past the boundary
+    s_out = int((2**63 / d) ** 0.5) - n * xb + 10**6
+    bad_cents = {0: ([s_in] * d, n), 1: ([s_out] * d, n)}
+    assert not cl._gemm_envelope_ok(bad_cents, xb)
+    # unknown bound: never GEMM
+    assert not cl._gemm_envelope_ok(ok_cents, None)
+
+    df = spark.createDataFrame(
+        [(i, [i % 5] * d) for i in range(10)], "vec_id long, qvec array<long>"
+    )
+    # work volume forced over the threshold: envelope decides the route
+    gemm = cl._assign_cluster(df, ok_cents, 10**9, xb)
+    expr = cl._assign_cluster(df, bad_cents, 10**9, xb)
+    assert "MapInPandas" in gemm._jdf.queryExecution().logical().toString()
+    assert "MapInPandas" not in expr._jdf.queryExecution().logical().toString()
+    # and both routes still assign (tiny sanity execute on the safe dict)
+    assert gemm.count() == 10 and expr.count() == 10
+
+
+def test_int_centroids_reports_global_component_bound(spark):
+    """_int_centroids' x_bound is the corpus max|x| regardless of which
+    cluster holds the extreme component."""
+    import youtube_api_batch_process_with_analytics_spark.operators.clustering as cl
+
+    df = spark.createDataFrame(
+        [(0, 0, [1, -7]), (1, 0, [2, 3]), (2, 1, [-11, 5])],
+        "vec_id long, cluster int, qvec array<long>",
+    )
+    cents, x_bound = cl._int_centroids(df)
+    assert x_bound == 11
+    assert cents[0] == ([3, -4], 2) and cents[1] == ([-11, 5], 1)

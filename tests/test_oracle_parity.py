@@ -28,3 +28,19 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert len(df.columns) > 0
+
+
+def test_r11_rotation_contract():
+    """Round-11 rotation arithmetic (the two-round coverage contract):
+    the gate head (first 50 registered queries) is EXACTLY the round-10
+    tail, the registry shrank 100 → 99 by the semantic-dedup gate fold,
+    and head ∪ r10-head covers every registered query except the new
+    combined row (whose round-11 verification is the fold-feasibility
+    pytest + the four-tier replica, with a driver row due in round 12)."""
+    names = list(_QUERIES)
+    assert len(names) == 99
+    head = set(names[:50])
+    assert head == set(entrymod._R10_TAIL_NOW_HEAD)
+    assert "semantic_dedup_gate_combined" in set(names[50:])
+    for retired in ("semantic_dedup_fitted", "semantic_dedup_capped"):
+        assert retired not in names

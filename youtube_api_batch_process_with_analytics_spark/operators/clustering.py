@@ -171,24 +171,41 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _int_centroids(assigned: DataFrame) -> dict[int, tuple[list[int], int]]:
+def _int_centroids(
+    assigned: DataFrame,
+) -> tuple[dict[int, tuple[list[int], int]], int]:
     """Collect exact rational centroids {cluster: (sum_vector, n)} — k×d
-    BIGINTs on the driver, the same bounded contract as kmeans_centroids."""
+    BIGINTs on the driver, the same bounded contract as kmeans_centroids.
+
+    Also returns the corpus-wide component bound max|x| (every Lloyd
+    round assigns EVERY valid vector, so any round's max is the global
+    one). It rides the same (cluster, pos) aggregate — no extra job —
+    and feeds ``_gemm_envelope_ok``'s driver-side overflow check."""
     flat = (
         assigned.select("cluster", F.posexplode("qvec").alias("pos", "x"))
         .groupBy("cluster", "pos")
-        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .agg(
+            F.sum("x").alias("s"),
+            F.count("*").alias("n"),
+            F.max(F.abs(F.col("x"))).alias("mx"),
+        )
         .collect()
     )
     by_cluster: dict[int, dict[int, int]] = {}
     counts: dict[int, int] = {}
+    x_bound = 0
     for r in flat:
         by_cluster.setdefault(r.cluster, {})[r.pos] = r.s
         counts[r.cluster] = r.n
-    return {
-        c: ([dims[p] for p in sorted(dims)], counts[c])
-        for c, dims in by_cluster.items()
-    }
+        if r.mx is not None and r.mx > x_bound:
+            x_bound = r.mx
+    return (
+        {
+            c: ([dims[p] for p in sorted(dims)], counts[c])
+            for c, dims in by_cluster.items()
+        },
+        int(x_bound),
+    )
 
 
 def _dist_sql(svec: list[int], n: int, col: str = "qvec") -> str:
@@ -277,17 +294,46 @@ def _gemm_assign(df: DataFrame, cents: dict[int, tuple[list[int], int]],
     return df.mapInPandas(gen, schema)
 
 
+def _gemm_envelope_ok(
+    cents: dict[int, tuple[list[int], int]], x_bound: int | None
+) -> bool:
+    """Driver-side int64-safety check for the GEMM kernel's EXPANDED
+    intermediates (ADVICE r10): with every component |x| ≤ ``x_bound``,
+    each per-cluster intermediate the kernel materializes — n²Σx²,
+    2n|Σxs|, Σs², and the combined distance — is bounded by
+    d·(n·x_bound + max|s|)², so that quantity fitting in int64 makes the
+    expansion exact (the accumulator-form expression path shares the same
+    worst case but never expands, so typical values cancel; outside the
+    envelope the router falls back to it). Computed in exact Python ints
+    from driver-held values only — max|s| and n from the centroid dict,
+    x_bound from the centroid aggregate itself."""
+    if x_bound is None:
+        return False
+    xb = int(x_bound)
+    for svec, n in cents.values():
+        s_max = max((abs(int(v)) for v in svec), default=0)
+        if len(svec) * (int(n) * xb + s_max) ** 2 >= 2**63:
+            return False
+    return True
+
+
 def _assign_cluster(
     df: DataFrame,
     cents: dict[int, tuple[list[int], int]],
     n_rows: int,
+    x_bound: int | None = None,
     field: str = "cluster",
     col: str = "qvec",
 ) -> DataFrame:
     """Route the argmin assignment through the expression or the GEMM
     kernel by work volume (``GEMM_ASSIGN_MIN_WORK``); results are
-    bit-identical either way."""
-    if n_rows * len(cents) >= GEMM_ASSIGN_MIN_WORK:
+    bit-identical either way. The GEMM path additionally requires the
+    driver-side int64 envelope check to pass (``_gemm_envelope_ok``) —
+    outside it the expanded intermediates could wrap silently, so the
+    router keeps the accumulator-form expression plan instead."""
+    if n_rows * len(cents) >= GEMM_ASSIGN_MIN_WORK and _gemm_envelope_ok(
+        cents, x_bound
+    ):
         return _gemm_assign(df, cents, field=field, col=col)
     return df.withColumn(field, _int_assign_expr(cents, field=field, col=col))
 
@@ -320,22 +366,22 @@ def _gate_kmeans(
     emb = _quantized(spark, sf_dir)
     n = _n_valid(spark, sf_dir)
     if hit is not None:
-        cents, final_cents = hit
-        return _assign_cluster(emb, cents, n), final_cents
+        cents, final_cents, x_bound = hit
+        return _assign_cluster(emb, cents, n, x_bound), final_cents
     cached = emb.persist()
     try:
         assigned = cached.withColumn(
             "cluster", (F.col("vec_id") % k).cast("int")
         )
         for _ in range(n_iter):
-            cents = _int_centroids(assigned)
-            assigned = _assign_cluster(cached, cents, n)
-        final_cents = _int_centroids(assigned)
+            cents, x_bound = _int_centroids(assigned)
+            assigned = _assign_cluster(cached, cents, n, x_bound)
+        final_cents, _ = _int_centroids(assigned)
     finally:
         cached.unpersist()
     with _KMEANS_CACHE_LOCK:
-        _KMEANS_MODEL_CACHE[key] = (cents, final_cents)
-    return _assign_cluster(emb, cents, n), final_cents
+        _KMEANS_MODEL_CACHE[key] = (cents, final_cents, x_bound)
+    return _assign_cluster(emb, cents, n, x_bound), final_cents
 
 
 def kmeans_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1520,6 +1566,27 @@ def semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup_gate_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 gate FOLD of ``semantic_dedup_fitted`` +
+    ``semantic_dedup_capped`` (executing the capacity plan the round-10
+    rotation comment pre-proved via
+    ``tests/test_clustering.py::test_semdedup_combined_gate_fold_is_feasible``):
+    ONE registered query that runs the production ``semantic_dedup`` with
+    the fitted gate target (k binds above the 32 floor at sf0.01, k=50)
+    AND both mega-cell guard knobs (cap 4 forces sub-bucketing; 2 sign
+    bits engage the lowest-id rank-cap), against a single combined twin
+    that derives the same k via a scalar subquery and encodes the same
+    sign-LSH sub-bucket + rank-cap semantics. Covers everything the two
+    retired gate rows covered in one head slot."""
+    return semantic_dedup(
+        spark,
+        sf_dir,
+        cell_cap=SEMDEDUP_GATE_CAP,
+        sub_bits=SEMDEDUP_GATE_SUB_BITS,
+        target_cell=SEMDEDUP_GATE_TARGET_CELL,
+    )
+
+
 def oracle_semantic_dedup_capped(
     k: int | None = None,
     n_iter: int = KMEANS_GATE_ITERS,
@@ -1686,8 +1753,12 @@ QUERIES = {
     "pq_adc_topk": pq_adc_topk,
     "ivf_pq_topk": ivf_pq_topk,
     "semantic_dedup": semantic_dedup,
-    "semantic_dedup_fitted": semantic_dedup_fitted,
-    "semantic_dedup_capped": semantic_dedup_capped,
+    # Round-11 fold: semantic_dedup_fitted + semantic_dedup_capped
+    # retired into the ONE combined gate row (capacity plan pre-proved in
+    # round 10); both retired rows were driver-green in CORRECTNESS_r10
+    # and the combined run is pinned hash-exact by
+    # test_semdedup_combined_gate_fold_is_feasible.
+    "semantic_dedup_gate_combined": semantic_dedup_gate_combined,
     "cluster_balanced_sample": cluster_balanced_sample,
 }
 
@@ -1698,9 +1769,8 @@ ORACLES = {
     "pq_adc_topk": oracle_pq_adc_topk(),
     "ivf_pq_topk": oracle_ivf_pq_topk(),
     "semantic_dedup": oracle_semantic_dedup(),
-    "semantic_dedup_fitted": oracle_semantic_dedup(
-        target_cell=SEMDEDUP_GATE_TARGET_CELL
+    "semantic_dedup_gate_combined": oracle_semantic_dedup_capped(
+        k=None, target_cell=SEMDEDUP_GATE_TARGET_CELL
     ),
-    "semantic_dedup_capped": oracle_semantic_dedup_capped(),
     "cluster_balanced_sample": oracle_cluster_balanced_sample(),
 }
