@@ -17,8 +17,13 @@ query stride) survives:
   fingerprint posting lists stay copy-local — candidate volumes scale
   LINEARLY with the corpus like a real 10x crawl, instead of
   quadratically like naive row duplication would force.
-- embeddings replicate vectors unchanged (ties broken by vec_id, already
-  deterministic); labels keep the cell structure at 10x occupancy.
+- embeddings shift vec_id per copy and apply a per-copy SIGNED
+  PERMUTATION of the dimensions (copy 0 = identity): an exact float32
+  isometry, so within-copy cosines/norms/quantizations are bit-identical
+  to the source tier while cross-copy twins land at incoherent angles —
+  duplicate groups, LSH buckets, and k-means cells stay copy-local and
+  embedding-family candidate volume scales linearly, matching the text
+  side (round-10 verdict item 5).
 
 Every table is written as a DIRECTORY of per-copy part files — the
 multi-split scan shape a real cluster sees, which also exercises the
@@ -64,7 +69,6 @@ KEY_COLS = {
     "orders": ["o_orderkey", "o_custkey"],
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "events": ["event_id", "user_id"],
-    "embeddings": ["vec_id"],
 }
 SINGLE_COPY = ("region", "nation")  # bounded dims, FK targets unchanged
 
@@ -102,6 +106,56 @@ def main() -> None:
                 f"COPY (SELECT {sel} FROM '{SRC}/{t}.parquet') TO "
                 f"'{d}/part_{i}.parquet' (FORMAT PARQUET)"
             )
+    # embeddings: offset vec_id AND apply a per-copy SIGNED PERMUTATION of
+    # the vector dimensions (round-10 verdict item 5 — fixture realism).
+    # Plain replication copied vectors unchanged, so every replicated
+    # vector was an exact duplicate of its 9 cross-copy twins:
+    # dedup_embedding_cosine's OUTPUT grew quadratically by its own
+    # contract and the growth tripwire saturated on a fixture artifact.
+    # A signed permutation is an exact ISOMETRY in float32 (values are
+    # moved and negated, never recomputed): all WITHIN-copy inner
+    # products, norms, cosines, and quantized values are bit-identical to
+    # the source tier — copy 0 keeps the identity transform so its
+    # vectors are byte-identical to sf0.1 — while CROSS-copy twins of the
+    # same source vector land at incoherent angles (expected cosine ~0),
+    # so duplicate groups, LSH buckets, and k-means cells stay copy-local
+    # and candidate volume scales LINEARLY with the corpus, matching the
+    # text side's per-copy token suffix. Deterministic: seeded per copy
+    # index, same tier bytes on every regeneration.
+    import random
+
+    emb_src = f"{SRC}/embeddings.parquet"
+    dim = con.execute(
+        f"SELECT len(embedding) FROM '{emb_src}' "
+        "WHERE embedding IS NOT NULL LIMIT 1"
+    ).fetchone()[0]
+    d = os.path.join(out, "embeddings.parquet")
+    os.makedirs(d, exist_ok=True)
+    for i in range(copies):
+        if i == 0:
+            vec_expr = "embedding"
+        else:
+            rng = random.Random(20260816 + i)
+            perm = list(range(dim))
+            rng.shuffle(perm)
+            terms = ", ".join(
+                f"{'-' if rng.random() < 0.5 else ''}embedding[{p + 1}]"
+                for p in perm
+            )
+            vec_expr = (
+                f"CASE WHEN embedding IS NULL OR len(embedding) <> {dim} "
+                f"THEN embedding ELSE CAST([{terms}] AS FLOAT[]) END"
+            )
+        con.execute(
+            f"""
+COPY (
+  SELECT vec_id + {i * COPY_STRIDE} AS vec_id,
+         {vec_expr} AS embedding,
+         label
+  FROM '{emb_src}'
+) TO '{d}/part_{i}.parquet' (FORMAT PARQUET)
+"""
+        )
     # documents: offset doc_id, suffix every token and the blocking key so
     # dedup/jaccard/contamination candidate volume scales linearly.
     # EXCEPTION: the fixed BM25 retrieval terms keep their surface form in
@@ -135,7 +189,7 @@ COPY (
 """
         )
     sizes = {}
-    for t in list(SINGLE_COPY) + list(KEY_COLS) + ["documents"]:
+    for t in list(SINGLE_COPY) + list(KEY_COLS) + ["embeddings", "documents"]:
         sizes[t] = con.execute(
             f"SELECT COUNT(*) FROM '{out}/{t}.parquet/*.parquet'"
         ).fetchone()[0]
