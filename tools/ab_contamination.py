@@ -1,6 +1,6 @@
 """One-session A/B of benchmark_contamination guard shapes at a given
-tier (memory: suite totals drift day-to-day on this host; only
-back-to-back ratios are trustworthy). Variants:
+tier (host throughput drifts day-to-day on this box; only back-to-back
+in-session ratios are trustworthy — see README's host-variance note). Variants:
 
   window   — round-9/10 shipped shape: count(*) OVER (PARTITION BY shingle)
   agg      — groupBy df table + broadcast anti-join of stop shingles

@@ -40,6 +40,11 @@ MIN_DUCK_SEC = 0.2     # below this the duck denominator is parse floor
 # Declared costs, annotated instead of flagged (keep in sync with README):
 DECLARED = {
     "quota_latch_final": "real Structured Streaming engine attestation",
+    "ann_vectorized_bound": (
+        "differential attestation device: executes BOTH the fold-exact "
+        "path and the GEMM kernel and cross-checks rank-wise; the twin "
+        "computes only the exact side"
+    ),
 }
 
 
