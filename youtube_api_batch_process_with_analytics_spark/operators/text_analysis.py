@@ -415,11 +415,29 @@ ORDER BY doc_id
 
 def _mode_token_share():
     """round(modal-token count / n_tokens, 6) over a ``toks`` array column
-    — O(distinct·n) per document, shared by ``doc_repetition_stats`` and
-    ``curation_pipeline_v2``."""
+    — shared by ``doc_repetition_stats`` and ``curation_pipeline_v2``.
+
+    Computed as the longest equal-run in the SORTED token array — an
+    O(n log n) sort plus one linear fold — replacing the round-10 shape
+    ``array_max(transform(array_distinct(toks), t -> size(filter(...))))``
+    whose nested per-distinct-token rescan was O(distinct·n): on prose
+    (distinct ≈ n) that is quadratic per document, and Spark evaluates
+    higher-order lambdas interpreted, so it priced the whole operator at
+    2.4-2.8× its DuckDB twin at sf3 (round-10 verdict watch item). The
+    modal count is identical by definition (max frequency = longest
+    sorted run), so gate hashes are unchanged at every tier."""
+    # finish maps best=0 (empty toks) to NULL — the old array_max(empty)
+    # = NULL semantics; 0/0 would otherwise throw under ANSI (callers
+    # like curation_pipeline_v2 apply this to unfiltered toks, hostile
+    # corpora included)
     mode_cnt = F.expr(
-        "array_max(transform(array_distinct(toks),"
-        " t -> size(filter(toks, x -> x = t))))"
+        "aggregate(array_sort(toks),"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),"
+        " (acc, t) -> named_struct("
+        "   'prev', t,"
+        "   'run', IF(acc.prev <=> t, acc.run + 1L, 1L),"
+        "   'best', GREATEST(acc.best, IF(acc.prev <=> t, acc.run + 1L, 1L))),"
+        " acc -> IF(acc.best = 0L, CAST(NULL AS BIGINT), acc.best))"
     ).cast("long")
     return F.round(mode_cnt / F.size("toks").cast("long"), 6)
 
