@@ -169,3 +169,18 @@ def test_contamination_hot_shingle_guard(spark):
     # the real leak survives with the exact unguarded count
     assert guarded[(100, 0)] == plain[(100, 0)]
     assert plain[(100, 0)] > 1  # rare-shingle overlap, not just boilerplate
+
+
+def test_stop_shingle_guard_is_broadcast_anti_join(spark, sf_dir):
+    """Round-11 guard rework pin: the df guard must be the aggregate
+    shape — a broadcast LEFT ANTI join of the dropped stop shingles —
+    with NO window over the posting list (the round-10 shape pushed
+    every posting row through one exchange with a per-partition sort;
+    a skewed shingle serialized onto one task)."""
+    import __spark_entry__ as entrymod
+
+    for name in ("benchmark_contamination", "ngram_jaccard_block_capped"):
+        df = entrymod.queries()[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti, BuildRight" in plan, f"{name}: no broadcast anti join"
+        assert "Window" not in plan, f"{name}: posting-list window reappeared"
