@@ -16,6 +16,7 @@ from youtube_api_batch_process_with_analytics_spark.analytics import channel as 
 from youtube_api_batch_process_with_analytics_spark.multimodal import binary_ops as _media
 from youtube_api_batch_process_with_analytics_spark.sources import rss_xml as _rss_xml
 from youtube_api_batch_process_with_analytics_spark.plans import sql_api as _sql_api
+from youtube_api_batch_process_with_analytics_spark.streaming import ingest as _stream_ingest
 from youtube_api_batch_process_with_analytics_spark.streaming import state as _stream_state
 from youtube_api_batch_process_with_analytics_spark.operators import (
     memo as _memo,
@@ -54,6 +55,7 @@ _MODULES = [
     _media,
     _scalar,
     _stream_state,
+    _stream_ingest,
     _rss_xml,
     _temporal,
     _grouping,
@@ -589,7 +591,85 @@ def entry(spark: SparkSession) -> DataFrame:
 # row, whose coverage is carried by its two retired parents' r10 driver
 # rows plus this round's replica — every OTHER registered query has a
 # driver row in r10 or r11.
+#
+# ROUND-12 ROTATION: the 49 round-11 tail queries promote back into the
+# head — this is the rotation round 11 pre-declared: it lands
+# `semantic_dedup_gate_combined`'s FIRST driver row (until now its
+# evidence was the fold-feasibility pytest + four-tier replicas; the
+# round-11 verdict named this the one thing round 12 must not fumble).
+# The ONE free head slot (opened by the round-11 gate fold) is spent on
+# the NEW registration `ingest_dedup_incremental` (streaming/ingest.py)
+# — the stream-static anti-join ingest dedup, previously pytest-only
+# (tests/test_streaming.py), now a registered gate query with a DuckDB
+# twin (the same anti-join over the history partition of `documents`),
+# exactly as the round-11 verdict's task #7 specified. Registry grows
+# 99 → 100; head = 49 promoted + 1 new = exactly 50, ZERO keeper slots.
+# The 50 demoted queries below (the full round-11 head) are ALL
+# hash-green in CORRECTNESS_r11.json and re-attested on this HEAD by the
+# round-12 GATECHECK replica; each leaves its family covered in the
+# head (the dedup family via benchmark_contamination + the connected-
+# components row, clustering/PQ via ann_ivf_kmeans/pq_codes/pq_adc_topk
+# + the combined gate row, streaming via rate_limit_pacer + the new
+# ingest row, text via doc_text_stats/doc_repetition_stats, etc.).
+# ROTATION CONTRACT CHECK (r12): r12 head = the 49 r11-tail queries +
+# ingest_dedup_incremental; r12 head ∪ r11 head = all 100 registered
+# queries — every registered query has a driver row in r11 or r12.
 _GATE_TAIL = [
+    "channel_video_metrics",
+    "channel_type_classification",
+    "final_metrics_struct",
+    "language_mode",
+    "language_distribution",
+    "enrichment_join",
+    "semi_join_lookup",
+    "log_page",
+    "pagination_meta",
+    "log_level_stats",
+    "top_loggers",
+    "recent_level_stats",
+    "retention_cleanup",
+    "daily_usage_windows",
+    "key_rotation_round_robin",
+    "key_rotation_seeded",
+    "key_usage_rollup",
+    "cache_ttl_filter",
+    "user_sessions",
+    "distinct_usage_stats",
+    "corpus_curation_funnel",
+    "curation_pipeline_v2",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
+    "dedup_simhash",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_block_capped",
+    "dedup_embedding_cosine",
+    "bpe_merges",
+    "kmeans_cells",
+    "ivf_pq_topk",
+    "semantic_dedup",
+    "bigram_lm_quality",
+    "ann_cosine_topk",
+    "ann_vectorized_bound",
+    "media_decode_features",
+    "set_ops_user_cohorts",
+    "email_topic_projection",
+    "json_props_metrics",
+    "cache_status_rollup",
+    "quota_latch_final",
+    "rss_xml_roundtrip",
+    "events_in_order_window",
+    "revenue_rollup",
+    "daily_event_pivot",
+    "language_fallback_resolution",
+    "video_format_flat",
+    "channel_by_handle",
+]
+
+# The round-11 tail (= the round-12 HEAD minus the new ingest row, kept
+# for the contract check in tests/test_oracle_parity.py):
+_R11_TAIL_NOW_HEAD = [
     "dim_broadcast_join",
     "retention_applied",
     "rolling_daily_average",
@@ -641,8 +721,8 @@ _GATE_TAIL = [
     "pricing_summary",
 ]
 
-# The round-10 tail (= the round-11 HEAD, kept for the contract check in
-# tests/test_oracle_parity.py):
+# The round-10 tail (= the round-11 HEAD = the round-12 TAIL, kept for
+# the contract check in tests/test_oracle_parity.py):
 _R10_TAIL_NOW_HEAD = [
     "channel_video_metrics",
     "channel_type_classification",
@@ -724,6 +804,9 @@ def _ordered(full: dict) -> dict:
 _PLAN_CACHE: dict[tuple, DataFrame] = {}
 _PLAN_CACHE_SKIP = {
     "quota_latch_final",
+    # runs the streaming anti-join during construction and returns a
+    # memory-sink read whose table is per-invocation, like the latch
+    "ingest_dedup_incremental",
     "dedup_connected_components",
     # embeds the weights checkpoint shared by the wmax broadcast
     "dsir_importance_weights",

@@ -30,17 +30,21 @@ def test_entry_smoke(spark):
     assert len(df.columns) > 0
 
 
-def test_r11_rotation_contract():
-    """Round-11 rotation arithmetic (the two-round coverage contract):
-    the gate head (first 50 registered queries) is EXACTLY the round-10
-    tail, the registry shrank 100 → 99 by the semantic-dedup gate fold,
-    and head ∪ r10-head covers every registered query except the new
-    combined row (whose round-11 verification is the fold-feasibility
-    pytest + the four-tier replica, with a driver row due in round 12)."""
+def test_r12_rotation_contract():
+    """Round-12 rotation arithmetic (the two-round coverage contract):
+    the gate head (first 50 registered queries) is EXACTLY the round-11
+    tail plus the new ingest_dedup_incremental registration (the one
+    free slot the round-11 gate fold opened), which puts
+    semantic_dedup_gate_combined in the driver gate for the first time;
+    the tail is exactly the round-11 head, so head ∪ r11-head covers
+    every one of the 100 registered queries."""
     names = list(_QUERIES)
-    assert len(names) == 99
+    assert len(names) == 100
     head = set(names[:50])
-    assert head == set(entrymod._R10_TAIL_NOW_HEAD)
-    assert "semantic_dedup_gate_combined" in set(names[50:])
+    assert head == set(entrymod._R11_TAIL_NOW_HEAD) | {
+        "ingest_dedup_incremental"
+    }
+    assert "semantic_dedup_gate_combined" in head
+    assert set(names[50:]) == set(entrymod._R10_TAIL_NOW_HEAD)
     for retired in ("semantic_dedup_fitted", "semantic_dedup_capped"):
         assert retired not in names

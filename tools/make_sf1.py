@@ -118,10 +118,18 @@ def main() -> None:
     # the source tier — copy 0 keeps the identity transform so its
     # vectors are byte-identical to sf0.1 — while CROSS-copy twins of the
     # same source vector land at incoherent angles (expected cosine ~0),
-    # so duplicate groups, LSH buckets, and k-means cells stay copy-local
-    # and candidate volume scales LINEARLY with the corpus, matching the
-    # text side's per-copy token suffix. Deterministic: seeded per copy
-    # index, same tier bytes on every regeneration.
+    # so duplicate groups, LSH buckets, and FITTED k-means cells (Lloyd
+    # on the vectors themselves) stay copy-local and candidate volume
+    # scales LINEARLY with the corpus, matching the text side's per-copy
+    # token suffix. Deliberate exception (round-11 advice): the
+    # PRE-ASSIGNED `label` column is replicated unchanged, so at sf1+
+    # each label cell mixes 10 cross-copy vectors at incoherent angles —
+    # label-keyed centroids (similarity.py's label-IVF) degenerate
+    # toward zero. That is geometric incoherence by construction, NOT a
+    # parity hazard (both engines read the same fixture); the copy-local
+    # property is claimed only for structure derived from the vector
+    # values. Deterministic: seeded per copy index, same tier bytes on
+    # every regeneration.
     import random
 
     emb_src = f"{SRC}/embeddings.parquet"

@@ -37,14 +37,75 @@ RATIO_TRIPWIRE = 2.0   # the judge's >2× perf-weak letter
 MIN_SPARK_SEC = 1.0    # below this the Spark time is orchestration floor
 MIN_DUCK_SEC = 0.2     # below this the duck denominator is parse floor
 
-# Declared costs, annotated instead of flagged (keep in sync with README):
-DECLARED = {
-    "quota_latch_final": "real Structured Streaming engine attestation",
+# Adjudication classes (round-11 verdict item 6: the classification must
+# ride the payload, not README prose — a future judge or the driver reads
+# it where the flags are). Exactly three classes:
+#   orchestration-floor — fixed per-query driver/orchestration cost over a
+#       sub-second vectorized-C++ denominator; the absolute gap is 1-5 s
+#       and the per-row growth is SUB-linear (growth table corroborates),
+#       so it amortizes at scale rather than compounding;
+#   declared-device     — the query deliberately does MORE work than its
+#       twin by documented construction (differential attestation,
+#       didactic all-pairs baseline, real streaming engine);
+#   breach              — a real >2× data-path gap; must be fixed or
+#       re-adjudicated by round close. UNLISTED flags default here.
+ADJUDICATION: dict[str, tuple[str, str]] = {
+    # --- declared devices (annotated even when not flagged) ---
+    "quota_latch_final": (
+        "declared-device", "real Structured Streaming engine attestation"
+    ),
     "ann_vectorized_bound": (
+        "declared-device",
         "differential attestation device: executes BOTH the fold-exact "
         "path and the GEMM kernel and cross-checks rank-wise; the twin "
-        "computes only the exact side"
+        "computes only the exact side",
     ),
+    "ngram_jaccard_pairs": (
+        "declared-device",
+        "the DECLARED didactic all-pairs baseline; its production twin "
+        "ngram_jaccard_block_capped runs well under its DuckDB twin",
+    ),
+    # --- orchestration floors (README 'fixed-floor' class; every entry
+    #     has sub-linear normalized growth in the committed growth table
+    #     and a 1-5 s absolute Spark time over a <1 s duck denominator) ---
+    "final_metrics_struct": (
+        "orchestration-floor",
+        "~1.4 s fixed plan/launch over a 0.1-0.3 s duck scan",
+    ),
+    "channel_type_classification": (
+        "orchestration-floor",
+        "same classifier-projection floor class as final_metrics_struct",
+    ),
+    "language_mode": (
+        "orchestration-floor",
+        "3-row argmax; Spark pays job launch, duck pays a vector scan",
+    ),
+    "events_asof_latest_order": (
+        "orchestration-floor",
+        "as-of bucket join floor; sub-linear growth across tiers",
+    ),
+    "key_rotation_least_used": (
+        "orchestration-floor",
+        "admission-pool machinery floor (shared with round_robin/seeded)",
+    ),
+    "key_rotation_seeded": (
+        "orchestration-floor",
+        "admission-pool machinery floor (shared with round_robin/seeded)",
+    ),
+    "key_rotation_round_robin": (
+        "orchestration-floor",
+        "hierarchical (day,hour) numbering, 10-exchange measured floor; "
+        "fused-join alternative measured and rejected (codegen cliff)",
+    ),
+    "events_in_order_window": (
+        "orchestration-floor",
+        "bucket-explode range join; the single-node hash range join "
+        "cannot be sharded, this shape can",
+    ),
+}
+# Back-compat alias: names annotated-not-flagged when they breach 2×.
+DECLARED = {
+    k: v[1] for k, v in ADJUDICATION.items() if v[0] == "declared-device"
 }
 
 
@@ -59,6 +120,7 @@ def main() -> None:
     ratios: dict[str, float] = {}
     flags: list[str] = []
     declared: dict[str, str] = {}
+    adjudication: dict[str, dict[str, str]] = {}
     for name in sorted(set(sq) & set(dq)):
         ts, td = sq[name], dq[name]
         if ts < MIN_SPARK_SEC or td < MIN_DUCK_SEC:
@@ -66,26 +128,35 @@ def main() -> None:
         r = round(ts / td, 2)
         ratios[name] = r
         if r > RATIO_TRIPWIRE:
-            if name in DECLARED:
-                declared[name] = DECLARED[name]
+            cls, why = ADJUDICATION.get(
+                name,
+                ("breach", "unadjudicated >2x data-path gap — fix or "
+                           "classify by round close"),
+            )
+            adjudication[name] = {"class": cls, "why": why}
+            if cls == "declared-device":
+                declared[name] = why
             else:
                 flags.append(name)
     width = max((len(n) for n in ratios), default=10)
     for name, r in sorted(ratios.items(), key=lambda kv: -kv[1]):
-        mark = (
-            " <-- FLAG"
-            if name in flags
-            else (" (declared)" if name in declared else "")
-        )
+        cls = adjudication.get(name, {}).get("class")
+        mark = f" <-- {cls.upper()}" if cls else ""
         print(f"{name:{width}s} spark={sq[name]:7.2f} duck={dq[name]:7.2f} "
               f"ratio={r:5.2f}{mark}")
+    breaches = [n for n in flags
+                if adjudication[n]["class"] == "breach"]
     print(f"\n{len(ratios)} comparable (spark>={MIN_SPARK_SEC}s, "
           f"duck>={MIN_DUCK_SEC}s); "
-          f"flags: {flags or 'none'}; declared: {sorted(declared) or 'none'}")
+          f"flags: {flags or 'none'}; breaches: {breaches or 'none'}; "
+          f"declared: {sorted(declared) or 'none'}")
     if apply:
         spark["ratios"] = ratios
         spark["ratio_flags"] = flags
-        spark["ratio_declared"] = declared
+        # every flag carries its machine-readable class here (round-11
+        # verdict item 6) — ratio_declared is the adjudication map, one
+        # entry per >2x name, never empty while flags are non-empty
+        spark["ratio_declared"] = adjudication
         with open(args[0], "w") as f:
             json.dump(spark, f, indent=1)
         print(f"applied to {args[0]}")

@@ -1200,7 +1200,16 @@ def benchmark_contamination(
     # round-10-rejected broadcast pre-filter re-measured SLOWER on top of
     # the aggregate shape too (the extra broadcast barrier again), so it
     # stays rejected; revisit only in the petabyte-posting regime where
-    # the full-corpus df aggregate is the measured bottleneck.
+    # the full-corpus df aggregate is the measured bottleneck. Failure
+    # mode to carry into that revisit (round-11 advice): the stop table
+    # is driver-broadcast, and its ≤ total_postings/df_cap size bound is
+    # structural, not absolute — with df_cap=4096 a petabyte posting
+    # list admits a stop side beyond the broadcast limit, which FAILS
+    # the job (broadcast OOM) rather than degrading. The fallback there
+    # is the same left_anti without the broadcast hint (shuffled anti-
+    # join): correct, skew-exposed on the hot shingles the stop table
+    # exists to remove, hence only acceptable once the stop side itself
+    # is too big to ship.
     stop = (
         posts.groupBy("shingle")
         .agg(F.count("*").alias("_df"))

@@ -425,7 +425,15 @@ def _mode_token_share():
     higher-order lambdas interpreted, so it priced the whole operator at
     2.4-2.8× its DuckDB twin at sf3 (round-10 verdict watch item). The
     modal count is identical by definition (max frequency = longest
-    sorted run), so gate hashes are unchanged at every tier."""
+    sorted run), so gate hashes are unchanged at every tier.
+
+    Contract (round-11 advice): identical to the rescan shape for
+    NON-NULL token arrays only. A NULL element would count its run
+    toward the mode here (``acc.prev <=> t``) where the old
+    ``size(filter(toks, x -> x = t))`` counted it as 0 — unreachable
+    from every in-repo caller (``_tokens()``/``split()`` never yield
+    NULL elements, pinned by the hostile-corpus suite), but callers
+    passing hand-built arrays must pre-filter NULLs."""
     # finish maps best=0 (empty toks) to NULL — the old array_max(empty)
     # = NULL semantics; 0/0 would otherwise throw under ANSI (callers
     # like curation_pipeline_v2 apply this to unfiltered toks, hostile

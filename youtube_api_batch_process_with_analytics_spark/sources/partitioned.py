@@ -275,11 +275,21 @@ def retention_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The staged root is ACQUIRED (refcounted) for the returned handle's
     lifetime: the frame scans the directory lazily, and any thread
-    executing it necessarily holds a Python reference to it, so the
-    finalizer-driven release — and hence a doomed root's deferred
-    rmtree — cannot run while a scan is in flight. A
+    executing the RETURNED frame necessarily holds a Python reference to
+    it, so the finalizer-driven release — and hence a doomed root's
+    deferred rmtree — cannot run while such a scan is in flight. A
     ``release_session_frames()`` racing an executing scan now only marks
-    the root doomed; the last live handle's collection deletes it."""
+    the root doomed; the last live handle's collection deletes it.
+
+    Caveat (round-11 advice): the pin rides THIS object, not the plan.
+    A caller that derives a frame (``retention_applied(...).filter(...)``)
+    and drops the original handle loses the pin — the finalizer fires on
+    CPython GC of the returned object, and a subsequent release deletes
+    the root out from under the still-executable derived plan. Callers
+    must keep the returned handle alive for as long as any derived frame
+    may execute (all in-repo callers do). The release moment is also
+    CPython-GC-timing dependent by construction (refcount drop → eager
+    finalize on CPython; delayed on other runtimes)."""
     import weakref
 
     root = _retention_root_acquire(spark, sf_dir, RETENTION_DAYS)

@@ -64,19 +64,23 @@ def _release_latch_sources() -> None:
         shutil.rmtree(p, ignore_errors=True)
 
 
-def _latch_src_acquire(spark, sf_dir: str, events: DataFrame) -> str:
-    """Return the staged source dir for (session, corpus), staging it on
-    first use, with an in-use count held until ``_latch_src_release``."""
+def _latch_src_acquire(
+    spark, sf_dir: str, events: DataFrame, tag: str = "latch"
+) -> str:
+    """Return the staged source dir for (session, corpus, tag), staging it
+    on first use, with an in-use count held until ``_latch_src_release``.
+    ``tag`` lets other streaming gate queries (ingest.py) share the same
+    stage-once/refcount/doom machinery without a second copy of it."""
     import shutil
     import tempfile
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
     with _LATCH_LOCK:
         src = _LATCH_SRC_CACHE.get(key)
         if src is not None:
             _LATCH_IN_USE[src] = _LATCH_IN_USE.get(src, 0) + 1
             return src
-    staged = tempfile.mkdtemp(prefix="latch_src_")
+    staged = tempfile.mkdtemp(prefix=f"{tag}_src_")
     # Staged file count caps at the upstream scan's split count (coalesce
     # never shuffles): one file at the small gate tiers, the source's own
     # split count at sf1+. The cap matters because the streaming batch's
