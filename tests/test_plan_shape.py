@@ -175,17 +175,16 @@ def test_pacer_single_shuffle_single_sort(spark, sf_dir):
     assert plan.count("+- Sort") == 1
 
 
-def test_key_rotation_numbering_hierarchical_on_skewed_day(spark, tmp_path):
-    """Round 9 (the round-8 verdict's two weak marks): a hot calendar day
-    must not land its entire request volume in ONE window partition. Pin
-    (a) the request-numbering window partitions by (day, hour) — no
-    request-volume window partitioned by day alone remains (the only
-    day-partitioned windows left run over the per-(key, day) admitted
-    pool and the per-(day, hour) offset grain, both bounded by keys /
-    calendar, not by traffic); and (b) on a fixture where one day holds
-    ~95% of all requests the hierarchical seq reproduces the global
-    per-day (ts, event_id) numbering bit-for-bit — same rollup as a
-    straight global-window replay."""
+def test_key_rotation_closed_form_matches_replay(spark, tmp_path):
+    """Round 12 (retiring the round-9 hierarchical numbering): the
+    round-robin rollup is closed form in (N, n, slot), so NO
+    request-volume window may remain in the plan at all — the only
+    windows left run over the per-(key, day) admitted pool, bounded by
+    keys × calendar, never by traffic. Pin (a) the plan carries no
+    window ordered by (ts, event_id), and (b) on a fixture where one day
+    holds ~95% of all requests the closed form reproduces the global
+    per-day (ts, event_id) numbering replay bit-for-bit — the same
+    differential that gated the round-9 hierarchical form."""
     import datetime as dt
 
     from pyspark.sql import Window as W
@@ -217,14 +216,13 @@ def test_key_rotation_numbering_hierarchical_on_skewed_day(spark, tmp_path):
 
     out = key_rotation_round_robin(spark, str(tmp_path))
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # every row_number window over (ts, event_id) request order must be
-    # hour-partitioned; a day-only partitionBy over raw requests is the
-    # skew hazard this round removed
+    # the closed form numbers no requests: any window ordered by the
+    # request stream (ts, event_id) would mean the per-request replay
+    # crept back in
     import re
 
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
-        if "ts" in spec and "event_id" in spec:
-            assert "hour" in spec, spec
+        assert not ("ts" in spec and "event_id" in spec), spec
 
     # differential: the pre-round-9 global day-window replay, inline
     import pyspark.sql.functions as F

@@ -94,13 +94,16 @@ ADJUDICATION: dict[str, tuple[str, str]] = {
     ),
     "key_rotation_round_robin": (
         "orchestration-floor",
-        "hierarchical (day,hour) numbering, 10-exchange measured floor; "
-        "fused-join alternative measured and rejected (codegen cliff)",
+        "closed-form rollup since round 12 (served = (N-1-slot) DIV n "
+        "+ 1); residual cost is the shared admission chain",
     ),
     "events_in_order_window": (
         "orchestration-floor",
-        "bucket-explode range join; the single-node hash range join "
-        "cannot be sharded, this shape can",
+        "bucket-explode range join: ~2.8 s at sf3 = exploded build + "
+        "9 M-row (custkey,bucket) shuffle vs DuckDB's in-memory IEJoin; "
+        "day-grain probe pre-agg measured 2.85->8.2 s and REJECTED "
+        "(aggregate-derived join input, operators/skew.py finding); "
+        "the single-node inequality join cannot shard, this shape can",
     ),
 }
 # Back-compat alias: names annotated-not-flagged when they breach 2×.

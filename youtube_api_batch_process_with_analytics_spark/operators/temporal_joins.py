@@ -133,6 +133,21 @@ def events_in_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Orders' dates are deterministically projected into the events' month
     (keeping day-of-month spread) so the interval join is non-trivial.
+
+    Round-12 audit (the round-11 floor-erosion watch item, 8.3×→10.6×
+    DuckDB from sf1 to sf3): the bucket width already matches the span
+    (RANGE_DAYS=7 → 1-week buckets → ≤2 buckets per interval; finer
+    buckets multiply build rows, coarser ones multiply candidate pairs),
+    and the measured-and-REJECTED alternative is on record: a day-grain
+    probe pre-aggregation (events → (custkey, day, cnt, min_ts), exact
+    because the interval endpoints are midnight-aligned) cut probe rows
+    3 M → 1.2 M at sf3 but ran 2.85 s → 8.2 s on an interleaved A/B —
+    the aggregate-derived probe side loses the scan-fed exchange's
+    efficiency and AQE's runtime mitigations (the operators/skew.py
+    finding again). The 2.8 s floor decomposes as exploded-build +
+    9 M-row (custkey, bucket) shuffle vs DuckDB's in-memory IEJoin; it
+    is the distributable shape — a single-node inequality join cannot
+    shard, this can.
     """
     events = load_table(spark, sf_dir, "events").select(
         F.col("user_id").alias("custkey"), "ts", "event_id"

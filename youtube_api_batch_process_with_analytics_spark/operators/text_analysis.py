@@ -417,37 +417,75 @@ def _mode_token_share():
     """round(modal-token count / n_tokens, 6) over a ``toks`` array column
     — shared by ``doc_repetition_stats`` and ``curation_pipeline_v2``.
 
-    Computed as the longest equal-run in the SORTED token array — an
-    O(n log n) sort plus one linear fold — replacing the round-10 shape
-    ``array_max(transform(array_distinct(toks), t -> size(filter(...))))``
-    whose nested per-distinct-token rescan was O(distinct·n): on prose
-    (distinct ≈ n) that is quadratic per document, and Spark evaluates
-    higher-order lambdas interpreted, so it priced the whole operator at
-    2.4-2.8× its DuckDB twin at sf3 (round-10 verdict watch item). The
-    modal count is identical by definition (max frequency = longest
-    sorted run), so gate hashes are unchanged at every tier.
+    Computed as the longest equal-run in the SORTED token array (see
+    ``_sorted_run_stats`` for the mechanism and history: round 10's
+    per-distinct-token rescan was O(distinct·n) quadratic on prose;
+    round 11's linear fold fixed the complexity; round 12 moved the fold
+    onto the distinct-sized change array). The modal count is identical
+    by definition (max frequency = longest sorted run), so gate hashes
+    are unchanged at every tier.
 
     Contract (round-11 advice): identical to the rescan shape for
-    NON-NULL token arrays only. A NULL element would count its run
-    toward the mode here (``acc.prev <=> t``) where the old
-    ``size(filter(toks, x -> x = t))`` counted it as 0 — unreachable
-    from every in-repo caller (``_tokens()``/``split()`` never yield
-    NULL elements, pinned by the hostile-corpus suite), but callers
-    passing hand-built arrays must pre-filter NULLs."""
-    # finish maps best=0 (empty toks) to NULL — the old array_max(empty)
-    # = NULL semantics; 0/0 would otherwise throw under ANSI (callers
-    # like curation_pipeline_v2 apply this to unfiltered toks, hostile
+    NON-NULL token arrays only — a NULL element merges its run here
+    where the old ``size(filter(toks, x -> x = t))`` counted it as 0 —
+    unreachable from every in-repo caller (``_tokens()``/``split()``
+    never yield NULL elements, pinned by the hostile-corpus suite), but
+    callers passing hand-built arrays must pre-filter NULLs."""
+    # CASE maps empty toks to NULL — the old array_max(empty) = NULL
+    # semantics; 0/0 would otherwise throw under ANSI (callers like
+    # curation_pipeline_v2 apply this to unfiltered toks, hostile
     # corpora included)
-    mode_cnt = F.expr(
-        "aggregate(array_sort(toks),"
-        " named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),"
-        " (acc, t) -> named_struct("
-        "   'prev', t,"
-        "   'run', IF(acc.prev <=> t, acc.run + 1L, 1L),"
-        "   'best', GREATEST(acc.best, IF(acc.prev <=> t, acc.run + 1L, 1L))),"
-        " acc -> IF(acc.best = 0L, CAST(NULL AS BIGINT), acc.best))"
-    ).cast("long")
-    return F.round(mode_cnt / F.size("toks").cast("long"), 6)
+    return F.round(
+        _sorted_run_stats().getField("mode_cnt")
+        / F.size("toks").cast("long"),
+        6,
+    )
+
+
+def _sorted_run_stats():
+    """``struct(n_distinct, mode_cnt)`` from ONE ``array_sort(toks)``
+    pass. The change positions of the sorted array (indices where the
+    value differs from its predecessor) determine both statistics:
+    distinct count = changes + 1, modal count = the widest gap between
+    consecutive changes (array boundaries included). Round-12 rewrite of
+    the round-11 fold: the per-element work drops from constructing a
+    (string, long, long) struct to two array lookups + one compare
+    (the integer fold then runs over the distinct-sized change array,
+    not the full token array), and doc_repetition_stats gets its
+    token-distinct count from the same pass instead of a separate
+    ``array_distinct`` hash pass. Values are identical by definition
+    (max frequency = longest sorted run; distinct values = runs), so
+    gate hashes are unchanged at every tier.
+
+    Same NULL-element contract as the round-11 fold (see
+    ``_mode_token_share``): non-null token arrays only — a NULL element
+    makes ``srt[i] != srt[i-1]`` NULL, dropping the change position and
+    merging its run. Unreachable from every in-repo caller."""
+    # binding trick: transform over a singleton array is the expression
+    # language's `let` — srt (the sorted array) and chg (its change
+    # positions) are each computed once, then referenced freely
+    # the size<2 arms are load-bearing, not just fast paths: sequence(1,
+    # size-1) with size<2 is a DESCENDING sequence ([1,0] for a 1-token
+    # array), whose srt[1] lookup throws INVALID_ARRAY_INDEX under ANSI
+    # (hostile single-token docs reach this through curation_pipeline_v2)
+    return F.expr(
+        "CASE WHEN size(toks) = 0 THEN"
+        " named_struct('n_distinct', CAST(NULL AS BIGINT),"
+        "              'mode_cnt', CAST(NULL AS BIGINT))"
+        " WHEN size(toks) = 1 THEN"
+        " named_struct('n_distinct', 1L, 'mode_cnt', 1L)"
+        " ELSE transform(array(array_sort(toks)), srt ->"
+        "   transform(array(filter(sequence(1, size(srt) - 1),"
+        "                          i -> srt[i] != srt[i - 1])), chg ->"
+        "     named_struct("
+        "       'n_distinct', CAST(size(chg) + 1 AS BIGINT),"
+        "       'mode_cnt', aggregate(chg,"
+        "         named_struct('p', 0L, 'b', 0L),"
+        "         (acc, i) -> named_struct('p', CAST(i AS BIGINT),"
+        "                                  'b', GREATEST(acc.b, i - acc.p)),"
+        "         acc -> GREATEST(acc.b, size(srt) - acc.p)))))[0][0]"
+        " END"
+    )
 
 
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -457,16 +495,24 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate generations — the standard cheap pre-LM corpus gate.
 
     Everything is per-document array lambdas inside whole-stage codegen —
-    map-only, zero shuffles, no UDFs. The modal-token share uses
-    ``array_max(transform(distinct, t -> count in toks))``: O(distinct·n)
-    per doc, bounded by document length, embarrassingly parallel.
-    DuckDB's ``list_*`` functions mirror each expression exactly.
+    map-only, zero shuffles, no UDFs. The token-distinct count and the
+    modal-token count come from ONE shared sorted pass
+    (``_sorted_run_stats``: distinct values = sorted runs, mode = longest
+    run), so the token array is sorted once and never rescanned
+    per-distinct-token. DuckDB's ``list_*`` functions mirror each
+    statistic exactly (the twin keeps the definitional ``list_distinct``
+    / rescan forms — same integers by definition).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = F.filter(
         F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda t: t != ""
     )
     d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    # separate projection: _rs is expensive and referenced twice below,
+    # so CollapseProject leaves the alias in place (SPARK-36718 — the
+    # same guard bm25's shared toks alias relies on) and the sort runs
+    # once per row
+    d = d.select("doc_id", "toks", _sorted_run_stats().alias("_rs"))
     n = F.size("toks").cast("long")
     trigrams = F.expr(
         "transform(sequence(0, size(toks) - 3),"
@@ -475,13 +521,13 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n.alias("n_tokens"),
-        F.round(1.0 - F.size(F.array_distinct("toks")) / n, 6).alias(
+        F.round(1.0 - F.col("_rs.n_distinct") / n, 6).alias(
             "token_dup_ratio"
         ),
         F.round(
             1.0 - F.size(F.array_distinct(trigrams)) / F.size(trigrams), 6
         ).alias("trigram_dup_ratio"),
-        _mode_token_share().alias("mode_token_share"),
+        F.round(F.col("_rs.mode_cnt") / n, 6).alias("mode_token_share"),
     )
 
 

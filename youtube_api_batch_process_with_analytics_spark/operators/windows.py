@@ -402,98 +402,57 @@ def key_rotation_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-seeded RNG and has no deterministic relational analog; documented
     away rather than faked.)
 
-    Scale shape (round 9, closing the round-8 weak mark): request
-    numbering is HIERARCHICAL — ``row_number`` within (day, hour) ordered
-    by (ts, event_id), composed with each hour's day-cumulative request
-    count (a prefix-sum window over the calendar-bounded (day, hour)
-    aggregate, broadcast back). Bit-identical to the per-day global
-    numbering it replaces — (ts, event_id) ordering is hour-monotone, so
-    ``seq = prior_hours_count + rank_within_hour`` — but the sort window
-    now spreads a hot calendar day over its 24 hour-partitions instead of
-    landing its entire request volume in ONE window partition (at real
-    scale rotation is a streaming construct — this is the batch replay).
-    Pool sizes are a tiny per-day dim joined broadcast-style; the final
-    assignment is an equi-join on (day, slot) — no request×key expansion
-    — followed by a partial-aggregable rollup.
+    Scale shape (round 12, retiring the round-9 hierarchical-numbering
+    plan — the suite's heaviest card at 10 exchanges, whose DuckDB ratio
+    WORSENED 6.06×→7.02× from sf1 to sf3, the round-11 verdict's floor-
+    erosion item): the per-request sequence number was only ever
+    materialized to be immediately rolled up, and the rollup is CLOSED
+    FORM. Per day, requests are numbered 0..N-1 and slot ``s`` of an
+    ``n``-key pool serves exactly the seqs ≡ s (mod n): so
+    ``served_requests = (N - 1 - s) DIV n + 1`` and ``first_seq = s``,
+    for every slot with s < N. The request-volume window sort, the
+    offsets prefix sum, and both request-sized broadcast joins all
+    vanish — what remains is the admission chain, ONE partial-aggregable
+    per-day request count, and arithmetic over the slots dim (days ×
+    admitted keys). The definitional per-request replay survives as the
+    DuckDB twin, which continues to pin hash-exactness of the closed
+    form at every tier.
     """
     events = load_table(spark, sf_dir, "events")
-    # persisted per invocation: slots and pool both read the admitted dim
-    # and AQE does not dedup the duplicated chain — one computation,
-    # released via memo.release_session_frames()
-    admitted = track_persisted(_admitted_pool(events).persist())
+    admitted = _admitted_pool(events)
     slot_w = W.partitionBy("day").orderBy(F.col("key_id").asc())
+    # slot numbering and pool size share one exchange (same partitioning,
+    # two window functions over the tiny admitted dim)
     slots = admitted.select(
-        "day", "key_id", (F.row_number().over(slot_w) - 1).alias("slot")
+        "day",
+        "key_id",
+        (F.row_number().over(slot_w) - 1).alias("slot"),
+        F.count("*").over(W.partitionBy("day")).alias("n_keys"),
     )
-    # Day-level pool sizes from `admitted` directly (plain partial-
-    # aggregable count — no window in this branch). Both this and `slots`
-    # re-derive the admission chain as separate physical subtrees (AQE's
-    # ReusedExchange measurably does NOT dedup them), but both are tiny
-    # BROADCAST builds over the aggregate-small admitted dim; the
-    # alternative — folding n_keys into `slots` and matching the slot in
-    # the join's residual condition — measurably DISABLES whole-stage
-    # codegen for the entire probe stage (Spark 4.1: a non-equi residual
-    # over both sides' attributes drops the stage to interpreted mode —
-    # 28s vs 3s on the sf1 tier), so two equi broadcast joins it is.
-    #
-    # Broadcast bound (round-9 ADVICE): the forced hints below assume the
-    # (day, key_id) slots dim and the (day, hour) offsets dim stay
-    # broadcast-small. Both grow with the corpus's TIME SPAN, not its row
-    # count — slots = days × admitted keys (150 here), offsets ≤ days ×
-    # 24 — so at ~50 B/row even a 10-year corpus with 1000 keys is
-    # ~180 MB of slots; beyond that span, drop the hints and let the
-    # planner shuffle these joins (rows are identical either way). The
-    # fixture spans ≤ 1 year: well inside the bound at every tier.
-    pool = admitted.groupBy("day").agg(F.count("*").alias("n_keys"))
-    hour_w = W.partitionBy("day", "hour").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
+    # Per-day request volume: same NULL-ts exclusion the old numbering
+    # branch applied (a NULL-day request never joined a pool).
+    day_counts = (
+        events.select(F.date_trunc("day", F.col("ts")).alias("day"))
+        .filter(F.col("day").isNotNull())
+        .groupBy("day")
+        .agg(F.count("*").alias("n_req"))
     )
-    # the explicit notnull filter matches what the (day, hour) equi-joins
-    # below imply anyway (NULL-ts requests never join a pool); stating it
-    # here keeps the numbering branch and the counting branch over the
-    # SAME row set.
-    reqs = events.select(
-        F.date_trunc("day", F.col("ts")).alias("day"),
-        F.date_trunc("hour", F.col("ts")).alias("hour"),
-        "ts",
-        "event_id",
-    ).filter(F.col("day").isNotNull() & F.col("hour").isNotNull())
-    numbered = reqs.withColumn("rn_h", F.row_number().over(hour_w) - 1)
-    # (day, hour) counts come from a plain map-partial aggregate on the
-    # scan — deliberately NOT from the windowed frame: Spark does not
-    # reuse the window exchange across the broadcast boundary (measured),
-    # so deriving counts from `numbered` would run the request-volume
-    # window SORT twice, while this branch's shuffle carries only the
-    # per-(day, hour) partial counts. The prefix sum then runs over the
-    # calendar-bounded (day, hour) grain only.
-    off_w = (
-        W.partitionBy("day")
-        .orderBy(F.col("hour").asc())
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    offsets = (
-        reqs.groupBy("day", "hour")
-        .agg(F.count("*").alias("_hn"))
-        .withColumn("off", F.coalesce(F.sum("_hn").over(off_w), F.lit(0)))
-        .select("day", "hour", "off")
-    )
-    requests = (
-        numbered.join(F.broadcast(offsets), ["day", "hour"])
-        .withColumn("seq", F.col("off") + F.col("rn_h"))
-        .select("day", "seq")
-    )
-    assigned = (
-        requests.join(F.broadcast(pool), "day")
-        .withColumn("slot", F.col("seq") % F.col("n_keys"))
-        .join(F.broadcast(slots), ["day", "slot"])
-    )
+    # slots is days × admitted keys (tiny, window over the admitted dim);
+    # day_counts is days-sized. The join broadcasts the counts. A slot
+    # with slot >= n_req never gets a request (the day has fewer requests
+    # than keys) — dropped, matching the per-request replay's inner joins.
+    zero = F.lit(0).cast("long")
     return (
-        assigned.groupBy(F.col("day").cast("date").alias("day"), "key_id")
-        .agg(
-            F.count("*").alias("served_requests"),
-            F.min("seq").alias("first_seq"),
+        slots.join(F.broadcast(day_counts), "day")
+        .filter(F.col("slot") < F.col("n_req"))
+        .select(
+            F.col("day").cast("date").alias("day"),
+            "key_id",
+            F.expr("(n_req - 1 - slot) DIV n_keys + 1").alias(
+                "served_requests"
+            ),
+            (zero + F.col("slot")).alias("first_seq"),
         )
-        .select("day", "key_id", "served_requests", "first_seq")
     )
 
 
