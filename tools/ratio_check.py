@@ -54,6 +54,12 @@ ADJUDICATION: dict[str, tuple[str, str]] = {
     "quota_latch_final": (
         "declared-device", "real Structured Streaming engine attestation"
     ),
+    "ingest_dedup_incremental": (
+        "declared-device",
+        "real Structured Streaming engine attestation (stream-static "
+        "anti-join through file source -> memory sink); the twin is the "
+        "same anti-join as plain SQL with no engine to spin up",
+    ),
     "ann_vectorized_bound": (
         "declared-device",
         "differential attestation device: executes BOTH the fold-exact "
@@ -96,6 +102,13 @@ ADJUDICATION: dict[str, tuple[str, str]] = {
         "orchestration-floor",
         "closed-form rollup since round 12 (served = (N-1-slot) DIV n "
         "+ 1); residual cost is the shared admission chain",
+    ),
+    "corpus_curation_funnel": (
+        "orchestration-floor",
+        "multi-stage funnel rollup: ~1 s fixed multi-job launch over a "
+        "sub-second duck denominator at small tiers; the ratio collapses "
+        "to ~1.0x at sf3 where the data path dominates (committed sf3 "
+        "pairs r11/r12), the amortization signature of a floor",
     ),
     "events_in_order_window": (
         "orchestration-floor",
