@@ -665,6 +665,20 @@ _GATE_TAIL = [
     "language_fallback_resolution",
     "video_format_flat",
     "channel_by_handle",
+    # ROUND-12 TAIL REGISTRATION (post-close capacity): the line-level
+    # boilerplate scrubber (text_analysis.remove_boilerplate_lines — the
+    # C4/CCNet/RefinedWeb cleaning step, the one cross-doc text-hygiene
+    # stage the registry lacked). Registered in the TAIL so the r12 head
+    # keeps its pinned 50-entry composition (the driver gate this round
+    # checks exactly the 49 r11-tail queries + ingest_dedup_incremental);
+    # its round-12 evidence is the four-tier GATECHECK replica addendum +
+    # the planted-boilerplate pytest, and its first DRIVER row lands in
+    # round 13 — the same tail-first path semantic_dedup_gate_combined
+    # took through rounds 11→12. Capacity note for r13: the tail now has
+    # 51 entries, so the r13 head (= this tail promoted) must either fold
+    # or retire one row, or carry one declared tail keeper for a round,
+    # documented at rotation time.
+    "remove_boilerplate_lines",
 ]
 
 # The round-11 tail (= the round-12 HEAD minus the new ingest row, kept

@@ -36,15 +36,20 @@ def test_r12_rotation_contract():
     tail plus the new ingest_dedup_incremental registration (the one
     free slot the round-11 gate fold opened), which puts
     semantic_dedup_gate_combined in the driver gate for the first time;
-    the tail is exactly the round-11 head, so head ∪ r11-head covers
-    every one of the 100 registered queries."""
+    the tail is exactly the round-11 head plus the round-12 tail
+    registration (remove_boilerplate_lines — replica+pytest evidence
+    this round, first driver row in r13, the fold-row precedent), so
+    head ∪ r11-head covers every registered query except that one new
+    tail row."""
     names = list(_QUERIES)
-    assert len(names) == 100
+    assert len(names) == 101
     head = set(names[:50])
     assert head == set(entrymod._R11_TAIL_NOW_HEAD) | {
         "ingest_dedup_incremental"
     }
     assert "semantic_dedup_gate_combined" in head
-    assert set(names[50:]) == set(entrymod._R10_TAIL_NOW_HEAD)
+    assert set(names[50:]) == set(entrymod._R10_TAIL_NOW_HEAD) | {
+        "remove_boilerplate_lines"
+    }
     for retired in ("semantic_dedup_fitted", "semantic_dedup_capped"):
         assert retired not in names

@@ -1,0 +1,63 @@
+"""Committed bench payloads must carry a complete, self-contained ratio
+adjudication (round-11 verdict item 6, made structural in round 12).
+
+The tripwire contract: every entry in a committed payload's
+``ratio_flags`` (spark/duck > 2x with both engines above the asymmetric
+floors) must have a machine-readable class in the same payload's
+``ratio_declared`` map — ``orchestration-floor`` / ``declared-device`` /
+``breach`` — so a judge (or the driver) reads the classification where
+the flags are, not in README prose. A flag without a class, or a class
+outside the closed vocabulary, fails here before it ships.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PAYLOADS = ["BENCH_DETAIL.json", "BENCH_SF1.json", "BENCH_SF3.json"]
+CLASSES = {"orchestration-floor", "declared-device", "breach"}
+
+
+@pytest.mark.parametrize("name", PAYLOADS)
+def test_every_flag_is_adjudicated(name):
+    path = os.path.join(REPO, name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not committed on this checkout")
+    payload = json.load(open(path))
+    flags = payload.get("ratio_flags", [])
+    declared = payload.get("ratio_declared", {})
+    missing = [f for f in flags if f not in declared]
+    assert not missing, (
+        f"{name}: ratio_flags without a ratio_declared class: {missing} — "
+        "add the query to tools/ratio_check.py ADJUDICATION (or fix the "
+        "breach) and re-run ratio_check.py --apply"
+    )
+    bad = {
+        q: e.get("class")
+        for q, e in declared.items()
+        if e.get("class") not in CLASSES or not e.get("why")
+    }
+    assert not bad, f"{name}: adjudication outside the closed vocabulary: {bad}"
+
+
+@pytest.mark.parametrize("name", PAYLOADS)
+def test_no_breach_class_ships_in_committed_payloads(name):
+    """A committed round-close payload may flag floors and declared
+    devices, but a ``breach``-class entry means the round shipped a known
+    >2x data-path gap — the state rounds 10 and 11 each spent a full
+    round clearing. Keep it impossible to ship one silently."""
+    path = os.path.join(REPO, name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not committed on this checkout")
+    payload = json.load(open(path))
+    declared = payload.get("ratio_declared", {})
+    breaches = [
+        q
+        for q in payload.get("ratio_flags", [])
+        if declared.get(q, {}).get("class") == "breach"
+    ]
+    assert not breaches, f"{name}: breach-class flags committed: {breaches}"

@@ -801,6 +801,129 @@ GROUP BY f.source ORDER BY f.source
 """
 
 
+BOILERPLATE_DF_CAP = 3  # drop lines recurring in MORE than this many docs
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame, text_col: str = "text", df_cap: int = BOILERPLATE_DF_CAP
+) -> DataFrame:
+    """Line-level boilerplate removal — the C4/CCNet/RefinedWeb-family
+    cleaning step the span/doc dedup operators don't cover: drop every
+    line whose TRIMMED form recurs in more than ``df_cap`` distinct
+    documents (navigation bars, cookie banners, footers — the
+    highest-frequency noise in web-crawl corpora), keeping document
+    structure otherwise intact. Beyond the reference surface (SURVEY.md
+    §7.1 M7); the reference has no corpus-level text hygiene at all — its
+    closest analog is the per-string topic beautifier
+    (youtube_api_handler.py:858-866), which is per-row only.
+
+    Semantics (mirrored exactly by the DuckDB twin):
+    - lines = split on literal newline; the matching KEY is ``trim(line)``
+      so indentation/padding variants of the same boilerplate collapse;
+    - lines whose key is '' are EXEMPT — blank separators are document
+      structure, not boilerplate (and counting them would make every
+      multi-paragraph doc share one giant "duplicate");
+    - line df = count of DISTINCT docs containing the key (repeats inside
+      one doc don't inflate it — that is repetition, priced by
+      doc_repetition_stats, not boilerplate);
+    - NULL text behaves exactly like '' (the corpus NULL contract).
+
+    100-TB shape: one exploded-KEY aggregate (line text never rides a
+    shuffle twice — only trimmed keys), the dropped side of the df guard
+    broadcasts into the exploded keys to build a PER-DOC hot-key array
+    (``collect_set``, ≤ a handful of keys per doc), and cleaning is then a
+    map-side array filter against that array — the full document text is
+    never exploded through a shuffle and never reassembled from rows. The
+    hot side is structurally ≤ total_lines/df_cap by the same counting
+    bound as the stop-shingle guard (dedup.py); at petabyte posting
+    volume with a tiny df_cap that bound can still exceed the broadcast
+    threshold, in which case drop the hint and let the hits join shuffle
+    — the failure mode and fallback mirror benchmark_contamination's
+    stop-table note.
+    """
+    arr = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    keys = docs.select(
+        "doc_id", F.explode(arr).alias("line")
+    ).select("doc_id", F.trim("line").alias("key")).filter(F.col("key") != "")
+    hot = (
+        keys.groupBy("key")
+        .agg(F.count_distinct("doc_id").alias("line_df"))
+        .filter(F.col("line_df") > df_cap)
+        .select("key")
+    )
+    hits = (
+        keys.join(F.broadcast(hot), "key")
+        .groupBy("doc_id")
+        .agg(F.collect_set("key").alias("hot_keys"))
+    )
+    hk = F.coalesce("hot_keys", F.array().cast("array<string>"))
+    kept = F.filter(arr, lambda x: (F.trim(x) == "") | ~F.array_contains(hk, F.trim(x)))
+    return (
+        docs.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws("\n", kept).alias("clean_text"),
+            (F.size(arr) - F.size(kept)).cast("bigint").alias("n_removed"),
+        )
+    )
+
+
+def remove_boilerplate_lines_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated boilerplate removal over ``documents``.
+
+    The fixture corpus is single-line with zero exact trimmed duplicates
+    (measured: no key recurs at any shipped tier), so a bare pass would
+    attest a no-op. Instead each document is framed with deterministic
+    structure that exercises BOTH sides of the df threshold — same
+    construction in the oracle:
+    - ``QUAD <doc_id DIV 4>``: recurs in (up to) 4 distinct docs → df>cap
+      → removed (tail groups with <4 members stay, exactly as the rule
+      says — the hash pins that boundary too);
+    - the organic text line: unique → kept (corpus text byte-identical);
+    - ``PAIR <doc_id DIV 2>``: df ≤ 2 ≤ cap → kept — attests the
+      threshold is > cap, not ≥ cap;
+    - ``GLOBAL FOOTER``: corpus-wide → removed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = F.concat_ws(
+        "\n",
+        F.concat(F.lit("QUAD "), F.expr("CAST(doc_id AS BIGINT) DIV 4")),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.concat(F.lit("PAIR "), F.expr("CAST(doc_id AS BIGINT) DIV 2")),
+        F.lit("GLOBAL FOOTER"),
+    )
+    framed = docs.select("doc_id", seeded.alias("text"))
+    return remove_boilerplate_lines(framed)
+
+
+ORACLE_REMOVE_BOILERPLATE_LINES = f"""
+WITH framed AS (
+    SELECT doc_id,
+           'QUAD ' || CAST(CAST(doc_id AS BIGINT) // 4 AS VARCHAR) || chr(10)
+           || coalesce(text, '') || chr(10)
+           || 'PAIR ' || CAST(CAST(doc_id AS BIGINT) // 2 AS VARCHAR) || chr(10)
+           || 'GLOBAL FOOTER' AS text
+    FROM documents
+), lines AS (
+    SELECT d.doc_id, trim(t.line) AS key
+    FROM framed d, unnest(string_split(coalesce(d.text, ''), chr(10))) AS t(line)
+    WHERE trim(t.line) <> ''
+), hot_list AS (
+    SELECT coalesce(list(key), []) AS ks FROM (
+        SELECT key FROM lines GROUP BY key
+        HAVING count(DISTINCT doc_id) > {BOILERPLATE_DF_CAP})
+)
+SELECT d.doc_id,
+       array_to_string(list_filter(string_split(coalesce(d.text, ''), chr(10)),
+            x -> trim(x) = '' OR NOT list_contains(h.ks, trim(x))), chr(10)) AS clean_text,
+       CAST(len(string_split(coalesce(d.text, ''), chr(10)))
+            - len(list_filter(string_split(coalesce(d.text, ''), chr(10)),
+                  x -> trim(x) = '' OR NOT list_contains(h.ks, trim(x))))
+            AS BIGINT) AS n_removed
+FROM framed d, hot_list h
+"""
+
+
 QUERIES = {
     "corpus_curation_funnel": corpus_curation_funnel,
     "curation_pipeline_v2": curation_pipeline_v2,
@@ -810,6 +933,7 @@ QUERIES = {
     "language_id": language_id,
     "doc_fingerprint": doc_fingerprint,
     "redact_pii": redact_pii_query,
+    "remove_boilerplate_lines": remove_boilerplate_lines_query,
 }
 
 ORACLES = {
@@ -821,4 +945,5 @@ ORACLES = {
     "language_id": ORACLE_LANGUAGE_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "redact_pii": _oracle_redact_pii(),
+    "remove_boilerplate_lines": ORACLE_REMOVE_BOILERPLATE_LINES,
 }
