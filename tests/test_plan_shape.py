@@ -341,3 +341,27 @@ def test_perplexity_buckets_histogram_bounded_window(spark, sf_dir):
     # boundary scalars and LM vocab count reach the big side as broadcasts
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_hot_join_broadcasts_text_stays_mapside(spark, sf_dir):
+    """remove_boilerplate_lines: the df-guard's hot side must BROADCAST
+    into the exploded keys (no shuffle of the posting-shaped key list for
+    the guard), and the document TEXT column must never ride an exchange —
+    only trimmed keys shuffle (the exploded-key aggregate and the per-doc
+    hot-key collect_set); cleaning is a map-side array filter."""
+    plan = _plan(_QUERIES["remove_boilerplate_lines"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the full text column appears in scans/projections but must not be an
+    # exchange output: every Exchange block's schema lines carry keys/ids,
+    # not the text payload. "formatted" prints each Exchange's output
+    # columns in its detail section as "Arguments: hashpartitioning(...)"
+    # over the child — pin instead that no Sort/Exchange consumes a
+    # column named text/clean (the seeded frame aliases the payload
+    # 'text'); explode of the payload feeds a project to trim() BEFORE
+    # the first aggregate.
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\n((?:.+\n)+?)\n", plan):
+        detail = m.group(1)
+        assert "text#" not in detail, f"text column rides an exchange:\n{detail}"
