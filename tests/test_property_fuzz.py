@@ -260,3 +260,56 @@ def test_rate_limit_pacer_closed_form_fuzz(spark, events):
         admit = arr if key not in last else max(arr, last[key] + I)
         last[key] = admit
         assert got[eid] == admit, (eid, arr, got[eid], admit)
+
+
+# --- line-level boilerplate removal: Spark vs an exact Python model -----
+# Line pool kept SMALL so cross-doc recurrence actually happens inside
+# max_size=12 corpora; padded/blank/unique arms exercise the trim
+# normalization and the empty-key exemption. NOTE the model must strip
+# SPACES ONLY (str.strip(' ')) — Spark's trim() and DuckDB's trim()
+# remove the ASCII space, not \t/\x0b, and a full str.strip() model
+# silently diverges on tab-padded lines.
+_BP_LINE = st.one_of(
+    st.sampled_from(
+        ["BANNER", "FOOTER", " BANNER ", "", "  ", "\tBANNER", "x y", "solo"]
+    ),
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=5),
+)
+_BP_DOC = st.lists(_BP_LINE, min_size=0, max_size=6).map("\n".join)
+
+
+@given(st.lists(st.one_of(st.none(), _BP_DOC), min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_remove_boilerplate_lines_fuzz(spark, texts):
+    from collections import defaultdict
+
+    from youtube_api_batch_process_with_analytics_spark.operators.text_analysis import (
+        remove_boilerplate_lines,
+    )
+
+    cap = 2
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in remove_boilerplate_lines(docs, df_cap=cap).collect()
+    }
+
+    norm = {i: ("" if t is None else t) for i, t in rows}
+    dfc: dict[str, set] = defaultdict(set)
+    for i, t in norm.items():
+        for ln in t.split("\n"):
+            k = ln.strip(" ")
+            if k != "":
+                dfc[k].add(i)
+    hot = {k for k, s in dfc.items() if len(s) > cap}
+    for i, t in norm.items():
+        lines = t.split("\n")
+        kept = [
+            ln for ln in lines if ln.strip(" ") == "" or ln.strip(" ") not in hot
+        ]
+        assert got[i] == ("\n".join(kept), len(lines) - len(kept)), (
+            i,
+            repr(t),
+            got[i],
+        )
