@@ -153,55 +153,83 @@ def final_metrics_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``final_metrics.{shorts,long,overall}.{last_6,last_15}.{...}`` response
     (youtube_api_handler.py:1033-1069), assembled from the flat A4 matrix.
 
-    One conditional-aggregation pivot collapses the (channel, window, type)
-    grain to one row per channel — no second shuffle beyond the matrix's
-    own aggregate — then a pure ``F.struct`` select nests it. The gate
-    flattens each leaf back out with distinct names so the DuckDB oracle
-    can hash-verify every nested value ('P'-status rows fall outside the
-    shorts/long/overall shape, as 'unknown' does in the reference).
+    Round-12 rewrite (guide §2.3/§2.4; 2.93×/2.08× DuckDB at sf1/sf3 on
+    the round-opening pair): the old shape re-ran the full A4 matrix —
+    window-expansion ``explode`` (×2 rows), GROUPING SETS ``Expand`` (×2
+    again), a matrix aggregate behind ``Expand``'s UnknownPartitioning
+    (forced exchange), then a SECOND full pivot aggregate on channel_id
+    (another exchange, since the matrix partitioning (custkey, window,
+    type, gid) cannot serve a channel-only groupBy) — 3 exchanges and 4×
+    the ranked rows through aggregation, only for 18 of the pivot cells.
+    Every leaf is a conditional aggregate OVER THE RANKED ROWS
+    THEMSELVES: cell (type t, window w) counts/sums rows with
+    ``rn <= w`` and status t ('overall' = all statuses, exactly the
+    (custkey, window) grouping set). The single aggregate keys on
+    o_custkey — the ranking window's own partitioning — so the whole
+    query is ONE exchange + the customer broadcast, with each ranked row
+    touched once. Derived cells reproduce the matrix expressions
+    verbatim: total = CAST(SUM(DECIMAL(18,2)) AS DOUBLE) (exact,
+    order-independent), avg = floor_div(total, count), er =
+    safe_rate(total, c_acctbal); absent cells (count 0) take the pivot's
+    COALESCE defaults (0, 0L, 0.0). Equivalence to the unchanged DuckDB
+    twin is pinned by the gate at every tier ('P'-status rows still fall
+    outside the shorts/long leaves but inside 'overall', as 'unknown'
+    does in the reference).
     """
-    flat = channel_video_metrics(spark, sf_dir)
-
-    def cell(t: str, w: int, col: str):
-        return F.max(
-            F.when(
-                (F.col("video_type") == t) & (F.col("window_n") == w), F.col(col)
-            )
-        )
-
-    def leaf(t: str, w: int):
-        return F.struct(
-            F.coalesce(cell(t, w, "video_count"), F.lit(0)).alias("video_count"),
-            F.coalesce(cell(t, w, "avg_views"), F.lit(0).cast("long")).alias(
-                "avg_views"
-            ),
-            F.coalesce(cell(t, w, "engagement_rate"), F.lit(0.0)).alias("er"),
-        )
-
-    def block(t: str):
-        return F.struct(leaf(t, 6).alias("last_6"), leaf(t, 15).alias("last_15"))
-
-    nested = flat.groupBy("channel_id").agg(
-        block("O").alias("shorts_b"),
-        block("F").alias("long_b"),
-        block("overall").alias("overall_b"),
-    ).select(
-        "channel_id",
-        F.struct(
-            F.col("shorts_b").alias("shorts"),
-            F.col("long_b").alias("long"),
-            F.col("overall_b").alias("overall"),
-        ).alias("final_metrics"),
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_acctbal")
+    )
+    ranked = ranked_recent_videos(spark, sf_dir, 15).select(
+        "o_custkey",
+        "o_orderstatus",
+        "rn",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
     )
 
-    cols = [F.col("channel_id")]
-    for t, tag in (("shorts", "s"), ("long", "l"), ("overall", "o")):
+    def cond(t: str, w: int):
+        in_window = F.col("rn") <= w
+        if t == "overall":
+            return in_window
+        return in_window & (F.col("o_orderstatus") == t)
+
+    aggs = []
+    for t, tag in (("O", "s"), ("F", "l"), ("overall", "o")):
         for w in (6, 15):
-            for m in ("video_count", "avg_views", "er"):
-                cols.append(
-                    F.col(f"final_metrics.{t}.last_{w}.{m}").alias(f"{tag}{w}_{m}")
-                )
-    return nested.select(*cols)
+            aggs.append(
+                F.count(F.when(cond(t, w), F.lit(1))).alias(f"_{tag}{w}_n")
+            )
+            aggs.append(
+                F.sum(F.when(cond(t, w), F.col("price_dec")))
+                .cast("double")
+                .alias(f"_{tag}{w}_total")
+            )
+    per_channel = ranked.groupBy("o_custkey").agg(*aggs)
+
+    joined = per_channel.join(
+        customer, per_channel.o_custkey == customer.c_custkey, "left"
+    )
+    cols = [F.col("o_custkey").alias("channel_id")]
+    for t, tag in (("O", "s"), ("F", "l"), ("overall", "o")):
+        for w in (6, 15):
+            n, total = F.col(f"_{tag}{w}_n"), F.col(f"_{tag}{w}_total")
+            present = n > 0
+            cols.append(n.alias(f"{tag}{w}_video_count"))
+            # COALESCE not WHEN/OTHERWISE for the derived cells: the old
+            # pivot's coalesce also zeroed a PRESENT cell whose value was
+            # NULL (all-NULL prices ⇒ total NULL ⇒ avg/er NULL) — keep
+            # that exact behavior for hostile inputs.
+            cols.append(
+                F.coalesce(
+                    F.when(present, floor_div(total, n)), F.lit(0).cast("long")
+                ).alias(f"{tag}{w}_avg_views")
+            )
+            cols.append(
+                F.coalesce(
+                    F.when(present, safe_rate(total, F.col("c_acctbal"))),
+                    F.lit(0.0),
+                ).alias(f"{tag}{w}_er")
+            )
+    return joined.select(*cols)
 
 
 def _oracle_final_metrics_struct() -> str:

@@ -34,11 +34,22 @@ BUCKET = "1 week"
 
 
 def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
-              value_cols: list[str]) -> DataFrame:
+              value_cols: list[str], tie_break: bool = False) -> DataFrame:
     """Generic as-of join: for each ``right`` row, attach the most recent
     ``left`` row's ``value_cols`` with left.time <= right.time (per key).
 
     Returns the right rows + as-of values (null when no left row precedes).
+
+    ``tie_break=True`` additionally orders equal-``(time_col, side)`` left
+    rows by ``value_cols`` ascending inside the carry-forward window, so
+    the row with the LEXICOGRAPHIC MAX value tuple sorts last and wins the
+    ``last_value(ignoreNulls)`` carry. This makes a pre-deduplication of
+    equal-time left rows (``groupBy(key, time).agg(max(struct(*values)))``)
+    unnecessary: every left row is non-null in every value column, so the
+    per-column "last non-null" all come from that same max-tuple row —
+    identical to joining against the deduplicated table, minus the
+    dedup's own full shuffle of the left side (round-12 optimization,
+    guide §2.4: remove shuffles outright).
     """
     passthrough = [c for c in right.columns if c not in (key, time_col)]
     lhs = left.select(
@@ -56,9 +67,16 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
     )
     # left rows sort before right rows at the same timestamp → "<=" semantics
     unioned = lhs.unionByName(rhs)
+    order = [F.col(time_col).asc(), F.col("_side").asc()]
+    if tie_break:
+        # equal-time left rows: max value tuple sorts last → wins last().
+        # Right rows are all-null in value_cols and already ordered after
+        # every left row at the same time by _side, so appending the value
+        # columns leaves their placement unchanged.
+        order += [F.col(c).asc() for c in value_cols]
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(time_col).asc(), F.col("_side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
@@ -88,17 +106,22 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("asof_price"),
         F.col("o_orderstatus").alias("asof_status"),
     )
-    # carry a deterministic tie-break into the value: at equal order dates
-    # keep the max (price, status) pair so the result is partition-stable
-    dedup = orders.groupBy("custkey", "ts").agg(
-        F.max(F.struct("asof_price", "asof_status")).alias("v")
-    ).select("custkey", "ts", "v.asof_price", "v.asof_status")
+    # Deterministic tie-break at equal order dates: keep the max
+    # (price, status) pair so the result is partition-stable. Round 12
+    # (guide §2.4): the explicit pre-dedup
+    # ``groupBy(custkey, ts).agg(max(struct(price, status)))`` cost a
+    # full orders-sized shuffle BEFORE the as-of union's own sort
+    # shuffle; the same max-tuple-wins semantics now rides the window's
+    # tie-break ordering (``tie_break=True`` sorts equal-(ts,side) order
+    # rows by (price, status) asc, so last_value carries the lexicographic
+    # max — exactly the row the dedup kept). One exchange instead of two.
     out = asof_join(
-        dedup,
+        orders,
         events,
         key="custkey",
         time_col="ts",
         value_cols=["asof_price", "asof_status"],
+        tie_break=True,
     )
     return out.select(
         "event_id", "custkey", "ts", "asof_price", "asof_status"
@@ -135,19 +158,33 @@ def events_in_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     (keeping day-of-month spread) so the interval join is non-trivial.
 
     Round-12 audit (the round-11 floor-erosion watch item, 8.3×→10.6×
-    DuckDB from sf1 to sf3): the bucket width already matches the span
-    (RANGE_DAYS=7 → 1-week buckets → ≤2 buckets per interval; finer
-    buckets multiply build rows, coarser ones multiply candidate pairs),
-    and the measured-and-REJECTED alternative is on record: a day-grain
-    probe pre-aggregation (events → (custkey, day, cnt, min_ts), exact
-    because the interval endpoints are midnight-aligned) cut probe rows
-    3 M → 1.2 M at sf3 but ran 2.85 s → 8.2 s on an interleaved A/B —
-    the aggregate-derived probe side loses the scan-fed exchange's
-    efficiency and AQE's runtime mitigations (the operators/skew.py
-    finding again). The 2.8 s floor decomposes as exploded-build +
-    9 M-row (custkey, bucket) shuffle vs DuckDB's in-memory IEJoin; it
-    is the distributable shape — a single-node inequality join cannot
-    shard, this can.
+    DuckDB from sf1 to sf3): two alternatives were built and measured
+    against this shape in one interleaved session per tier
+    (tools/ab_range_join.py, 6 reps, min after JIT):
+
+    - candidate-start PROFILE inversion (events explode into their ≤W
+      midnight-aligned window starts, partial-agg to a (custkey,
+      valid_from) profile, orders equi-join picks their cell — no pair
+      expansion, no per-order re-agg): WINS at sf0.1 (2.7 vs 2.9 s in
+      that session) but LOSES where it matters — sf1 2.30 vs 2.17 s,
+      sf3 5.0 vs 3.2 s. The profile grain (keys × up-to-37 candidate
+      days) compresses nothing at fixture density (~1.3 events per
+      cell), so the explode×7 pass plus a same-magnitude shuffle costs
+      more than the pair join it replaces. Rejected, joining the
+      round-11-rejected day-grain probe pre-agg on the record.
+    - SHUFFLE_HASH hint on the probe side (kept, below): ties sf1
+      (2.09 vs 2.17 s), wins sf3 (2.64 vs 3.19 s) and sf0.1 (2.0 vs
+      2.9 s) — past the broadcast tiers the planner's sort-merge pays
+      two big sorts this equi-join does not need (guide §3.1: pick the
+      strategy deliberately); the hint builds the hash on the NARROWER
+      probe rows per partition. At 100 TB the build side stays bounded
+      per partition by AQE's advisory partition sizing; a build-side
+      spill regression would surface as OOMs here first.
+
+    The remaining ~2.6 s at sf3 decomposes as exploded-build + 9 M-row
+    (custkey, bucket) shuffle vs DuckDB's in-memory IEJoin; it is the
+    distributable shape — a single-node inequality join cannot shard,
+    this can.
     """
     events = load_table(spark, sf_dir, "events").select(
         F.col("user_id").alias("custkey"), "ts", "event_id"
@@ -180,7 +217,9 @@ def events_in_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket"),
     )
-    probes = events.withColumn("bucket", F.date_trunc("week", "ts"))
+    probes = events.withColumn("bucket", F.date_trunc("week", "ts")).hint(
+        "shuffle_hash"
+    )
     joined = probes.join(exploded, ["custkey", "bucket"]).filter(
         (F.col("ts") >= F.col("valid_from")) & (F.col("ts") < F.col("valid_to"))
     )

@@ -285,20 +285,35 @@ HOURLY_CAP = 4
 def _admitted_pool(events: DataFrame) -> DataFrame:
     """F2 admission (youtube_api_handler.py:63-68) as a per-(key, day)
     table: daily count + peak hourly count, filtered to keys under both
-    quotas. One wide shuffle on (key, day, hour) feeds both aggregates
-    (the hourly max re-aggregates the finer grain). Shared by the
-    ``least_used`` and ``round_robin`` rotation policies."""
+    quotas. Shared by all three ST4 rotation policies.
+
+    Round-12 shape (guide §2.3/§2.4): ONE exchange of the raw 16-byte
+    (key, ts) rows, hash-partitioned on (key, day); the hourly and daily
+    aggregates then both run exchange-free because hash(key, day) is a
+    subset of either grouping. The previous shape let each groupBy plan
+    its own exchange — but the hourly grain retains ~96% of raw rows on
+    every tier (measured sf0.1 and sf1), so its map-side partial
+    aggregation compressed nothing and the two exchanges together
+    carried ~2.7× the bytes of the single raw one, plus a stage barrier.
+    Skew bound: one partition key is (api key, calendar day) whose row
+    count the daily quota itself caps at production scale."""
     # a request without a key is not a key: NULL user_id is excluded
     # EXPLICITLY on both engines. Without the filter a NULL key surviving
     # admission would take a slot, and the engines disagree on where it
     # sorts (Spark asc() is NULLS FIRST, DuckDB ASC is NULLS LAST) —
     # every other key's slot would shift and the rotation twins diverge.
-    events = events.filter(F.col("user_id").isNotNull())
-    hourly = events.groupBy(
-        F.col("user_id").alias("key_id"),
-        F.date_trunc("day", F.col("ts")).alias("day"),
-        F.date_trunc("hour", F.col("ts")).alias("hour"),
-    ).agg(F.count("*").alias("hour_cnt"))
+    pre = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("user_id").alias("key_id"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .repartition(F.col("key_id"), F.col("day"))
+    )
+    hourly = pre.groupBy("key_id", "day", "hour").agg(
+        F.count("*").alias("hour_cnt")
+    )
     per_day = hourly.groupBy("key_id", "day").agg(
         F.sum("hour_cnt").alias("daily_cnt"),
         F.max("hour_cnt").alias("peak_hour_cnt"),
@@ -523,9 +538,12 @@ def key_rotation_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     slots = admitted.select(
         "day", "key_id", (F.row_number().over(slot_w) - 1).alias("slot")
     )
-    # plain day-level count, broadcast — NOT a residual-condition join
-    # (see key_rotation_round_robin: a non-equi residual drops the whole
-    # probe stage out of codegen)
+    # plain day-level count over the tiny cached dim, broadcast — NOT a
+    # residual-condition join (see key_rotation_round_robin: a non-equi
+    # residual drops the whole probe stage out of codegen). Deriving the
+    # pool from ``slots`` instead was tried in round 12 and rejected:
+    # the two broadcasts are separate jobs, so the shared-window "fusion"
+    # just re-ran the row_number exchange inside the pool's own subtree.
     pool = admitted.groupBy("day").agg(F.count("*").alias("n_keys"))
     draw = F.conv(
         F.substring(
