@@ -704,6 +704,37 @@ def test_gemm_assign_property_differential(spark):
         assert d * term * term < 2**63 - 1
 
 
+def test_pq_codes_gemm_bit_identical_to_expression_path(spark, sf_dir, monkeypatch):
+    """Round 13: the fused PQ-code kernel (_gemm_assign_codes — ONE
+    mapInPandas pass assigning all M codes) is the EXACT twin of the M
+    per-subspace expression folds: same integer-exact distances, same
+    double division, same lowest-code tie break. pq_codes_query must
+    return identical rows with the kernel forced on and forced off, and
+    the routed plan must actually switch (expression plan has no Python
+    node; forced plan has exactly one MapInPandas)."""
+    import youtube_api_batch_process_with_analytics_spark.operators.clustering as cl
+
+    def run():
+        df = cl.pq_codes_query(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return sorted(map(tuple, df.collect())), plan
+
+    monkeypatch.setattr(cl, "GEMM_ASSIGN_MIN_WORK", 10**18)
+    expr_rows, expr_plan = run()
+    assert "MapInPandas" not in expr_plan
+    monkeypatch.setattr(cl, "GEMM_ASSIGN_MIN_WORK", 0)
+    gemm_rows, gemm_plan = run()
+    assert gemm_plan.count("MapInPandas") == 1
+    assert expr_rows == gemm_rows and expr_rows
+
+    # the IVFADC composition routes the same encode — full-query parity
+    monkeypatch.setattr(cl, "GEMM_ASSIGN_MIN_WORK", 10**18)
+    expr_ivf = sorted(map(tuple, cl.ivf_pq_topk(spark, sf_dir).collect()))
+    monkeypatch.setattr(cl, "GEMM_ASSIGN_MIN_WORK", 0)
+    gemm_ivf = sorted(map(tuple, cl.ivf_pq_topk(spark, sf_dir).collect()))
+    assert expr_ivf == gemm_ivf and expr_ivf
+
+
 def test_semdedup_combined_gate_fold_is_feasible(spark, duck, sf_dir):
     """Round-11 capacity pre-proof: the two gate-knob attestation
     queries (semantic_dedup_fitted, semantic_dedup_capped) can FOLD into

@@ -80,8 +80,19 @@ HOSTILE_EMB_ROWS = f"""
 HOSTILE_ORDER_ROWS = """
     (7000001, NULL, 'O', 100.5, TIMESTAMP '2024-01-10 00:00:00', '1-URGENT'),
     (7000002, 1, NULL, NULL, NULL, NULL),
-    (7000003, 999999999, 'F', 0.0, TIMESTAMP '2024-01-11 00:00:00', '')
+    (7000003, 999999999, 'F', 0.0, TIMESTAMP '2024-01-11 00:00:00', ''),
+    (7000004, 2, NULL, 222.25, TIMESTAMP '2024-01-12 00:00:00', '2-HIGH'),
+    (7000005, 3, 'O', NULL, TIMESTAMP '2024-01-14 00:00:00', '3-MEDIUM'),
+    (7000006, 3, 'F', 50.0, TIMESTAMP '2024-01-14 00:00:00', '3-MEDIUM')
 """
+# 7000004 (round-12 ADVICE item 1): NULL status with a VALID key+date —
+# survives the ranked filter, so the grouping-set NULL subgroup exists and
+# the 'overall' cells must come from the TOTAL row on both engines (the
+# GROUPING() pin in ORACLE_FINAL_METRICS_STRUCT).
+# 7000005/7000006 (ADVICE item 2): two orders TIED on (custkey, date), one
+# with a NULL value column — the as-of tie-break must carry ONE physically
+# consistent (price, status) tuple, not stitch per-column last-non-nulls
+# across the tied rows (the struct-atomic carry in asof_join).
 
 HOSTILE_LINEITEM_ROWS = """
     (7000001, 1, 1, 1, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
@@ -103,8 +114,11 @@ HOSTILE_EVENT_ROWS = """
     (8000006, TIMESTAMP '2024-01-15 12:05:00', 77003, 'view', 0.0, '{"k": null}'),
     (8000007, NULL, 77004, 'error', 9.9, '{"k": 3}'),
     (8000007, TIMESTAMP '2024-01-15 12:07:00', 77004, 'purchase', 9.9, '{"k": 4}'),
-    (8000009, TIMESTAMP '2024-01-15 12:08:00', 77005, '', -1.0, '{"k": -5}')
+    (8000009, TIMESTAMP '2024-01-15 12:08:00', 77005, '', -1.0, '{"k": -5}'),
+    (8000010, TIMESTAMP '2024-01-16 12:00:00', 3, 'view', 1.0, '{}')
 """
+# 8000010: an event for user 3 AFTER the tied 7000005/7000006 order pair,
+# so the as-of join actually exercises the tied-timestamp carry.
 
 
 @pytest.fixture(scope="module")

@@ -124,6 +124,38 @@ DECLARED = {
     k: v[1] for k, v in ADJUDICATION.items() if v[0] == "declared-device"
 }
 
+# Fit-dependent queries (round-12 verdict item 4 / README "Fit-eligibility
+# rule"): their warm `queries` number is the PREPARED-SERVING steady state
+# — session-memoized fit artifacts built on rep 1, reused by reps 2-3 —
+# while the DuckDB twin re-runs its fit CTEs every rep. Every ratio for
+# these names is stamped with the convention AND the second reading
+# (warm + fit) / duck, the fit-amortized upper band, computed from the
+# spark payload's own `fit` column. Names = every query whose plan embeds
+# a memo.session_frame artifact or a driver-side fitted model (the README
+# inventory, mapped to registered queries).
+FIT_DEPENDENT = {
+    # ranking / LM family (tfidf_tf, bm25_base, lm_scores frames)
+    "tfidf_top_terms", "bm25_search", "bigram_lm_quality",
+    "perplexity_buckets", "dsir_importance_weights",
+    # span family (span_toks/grain/dupfps/doctotals/dupgrain/duphits)
+    "duplicate_spans", "remove_duplicate_spans", "doc_novelty",
+    "source_overlap_matrix", "winnowing_fingerprints",
+    # tokenized-scan consumers (curation_toked frame)
+    "curation_pipeline_v2", "corpus_curation_funnel",
+    # sampler doc-bucket frame
+    "mixture_temperature_sample",
+    # fitted Lloyd / PQ / IVF / BPE models (driver-side value caches)
+    "kmeans_cells", "ann_ivf_kmeans", "ann_ivf_topk", "ivf_pq_topk",
+    "pq_codes", "pq_adc_topk", "semantic_dedup",
+    "semantic_dedup_gate_combined", "cluster_balanced_sample",
+    "ann_cosine_topk", "bpe_merges", "bpe_fertility", "pack_sequences_bpe",
+    # export composes chunk/pack/shards over the fitted BPE merges
+    "export_pipeline",
+    # staged retention layout (once per session)
+    "retention_applied",
+}
+FIT_CONVENTION = "spark-warm-vs-duck-cold"
+
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--apply"]
@@ -133,12 +165,26 @@ def main() -> None:
     spark = json.load(open(args[0]))
     duck = json.load(open(args[1]))
     sq, dq = spark.get("queries", {}), duck.get("queries", {})
+    fit = spark.get("fit", {})
     ratios: dict[str, float] = {}
     flags: list[str] = []
     declared: dict[str, str] = {}
     adjudication: dict[str, dict[str, str]] = {}
+    conventions: dict[str, dict] = {}
     for name in sorted(set(sq) & set(dq)):
         ts, td = sq[name], dq[name]
+        # fit-dependent names get their convention + amortized band
+        # stamped for EVERY comparable entry, flagged or not (round-12
+        # verdict item 4: a cited ratio must name its convention)
+        if name in FIT_DEPENDENT and td >= MIN_DUCK_SEC:
+            conventions[name] = {
+                "convention": FIT_CONVENTION,
+                "ratio_warm": round(ts / td, 2),
+                "ratio_fit_amortized": round(
+                    (ts + fit.get(name, 0.0)) / td, 2
+                ),
+                "fit_sec": fit.get(name, 0.0),
+            }
         if ts < MIN_SPARK_SEC or td < MIN_DUCK_SEC:
             continue  # orchestration/parse floor
         r = round(ts / td, 2)
@@ -150,6 +196,8 @@ def main() -> None:
                            "classify by round close"),
             )
             adjudication[name] = {"class": cls, "why": why}
+            if name in conventions:
+                adjudication[name].update(conventions[name])
             if cls == "declared-device":
                 declared[name] = why
             else:
@@ -173,6 +221,9 @@ def main() -> None:
         # verdict item 6) — ratio_declared is the adjudication map, one
         # entry per >2x name, never empty while flags are non-empty
         spark["ratio_declared"] = adjudication
+        # every comparable fit-dependent query names its convention and
+        # ships the fit-amortized second reading (round-12 verdict item 4)
+        spark["ratio_conventions"] = conventions
         with open(args[0], "w") as f:
             json.dump(spark, f, indent=1)
         print(f"applied to {args[0]}")

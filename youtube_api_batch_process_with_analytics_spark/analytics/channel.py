@@ -262,8 +262,22 @@ def _oracle_final_metrics_struct() -> str:
         "  WHERE r.rn <= w.window_n AND r.rn <= 15\n"
         "),\n"
         "agg AS (\n"
+        # Round-13 semantics pin (round-12 ADVICE item 1): the 'overall'
+        # label belongs to the GROUPING-SET TOTAL row only. The old
+        # COALESCE(o_orderstatus, 'overall') let a NULL-status SUBGROUP
+        # share the label, and the pivot's column-wise MAX could then
+        # stitch 'overall' cells from two different rows — while the
+        # Spark side's conditional aggregate always returns the total's.
+        # GROUPING(o_orderstatus) distinguishes the two: the total row
+        # (grouping=1) is 'overall'; a NULL-status subgroup keeps NULL
+        # video_type and matches no pivot cell (it still counts inside
+        # the total, exactly like Spark's unconditional 'overall' CASE).
+        # Identical output on every fixture tier (no NULL-status order
+        # with a valid key+date exists; the hostile differential now
+        # pins one — tests/oracle_utils HOSTILE_ORDER_ROWS).
         "  SELECT o_custkey, window_n,\n"
-        "         COALESCE(o_orderstatus, 'overall') AS video_type,\n"
+        "         CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'overall'\n"
+        "              ELSE o_orderstatus END AS video_type,\n"
         "         COUNT(*) AS video_count,\n"
         "         CAST(SUM(price_dec) AS DOUBLE) AS total_views\n"
         "  FROM expanded\n"

