@@ -19,7 +19,11 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PAYLOADS = ["BENCH_DETAIL.json", "BENCH_SF1.json", "BENCH_SF3.json"]
-CLASSES = {"orchestration-floor", "declared-device", "breach"}
+# round 13 added host-variance: a >2x reading on UNTOUCHED code that a
+# prior round's committed same-code pair measured <=~1x, with the prior
+# ratio + same-box warm recheck + measured per-job boundary floor all
+# cited in the entry (see tools/ratio_check.py class docs)
+CLASSES = {"orchestration-floor", "declared-device", "breach", "host-variance"}
 
 
 @pytest.mark.parametrize("name", PAYLOADS)
