@@ -145,6 +145,15 @@ ADJUDICATION: dict[str, tuple[str, str]] = {
         "untouched; r12 same-code sf1 pair 1.12x; warm recheck 2.53 s vs "
         "suite 3.98 s; duck denominator drifted 1.75->1.89 s in lockstep",
     ),
+    "dedup_simhash": (
+        "host-variance",
+        "untouched dedup.py map-only path; r12 committed same-code sf3 "
+        "pair 1.36x; idle-box warm recheck 1.43 s (= 0.92x the same duck "
+        "denominator) vs suite 9.22 s with rep spread [17.0, 21.5, 9.2] — "
+        "the measured hypervisor steal bursts (SCALING_SF1.json "
+        "diagnosis: 32-way stages sample steal 32x per wave) hitting a "
+        "sub-2 s JVM query under sustained suite load",
+    ),
     "events_in_order_window": (
         "orchestration-floor",
         "bucket-explode range join: ~2.8 s at sf3 = exploded build + "
