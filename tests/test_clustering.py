@@ -819,3 +819,80 @@ def test_int_centroids_reports_global_component_bound(spark):
     cents, x_bound = cl._int_centroids(df)
     assert x_bound == 11
     assert cents[0] == ([3, -4], 2) and cents[1] == ([-11, 5], 1)
+
+
+def test_semdedup_pair_kernel_bit_identical_to_expression_path(
+    spark, sf_dir, monkeypatch
+):
+    """Round 13: the grouped pair-scoring kernel (_semdedup_pair_kernel —
+    one int64 GEMM per (cell, sub) group emitting the dups aggregate
+    directly) is the EXACT twin of the window + pair-join + groupBy
+    expression path: same integer dot/norms, same IEEE double chain, and
+    the round-to-6 threshold gate replaced by the provably-equivalent
+    double cutoff. semantic_dedup must return identical rows with the
+    kernel forced on and forced off — including with a tiny cap that
+    forces both mega-cell guard layers — and the routed plan must
+    actually switch (expression plan has no grouped-map Python node; the
+    forced plan drops the rank window and the pair join entirely).
+    Releases its session frames on exit: each invocation tracks a
+    persisted dim, and leaving four of them to the NEXT test file's
+    release turns test_memo's persistent-RDD baseline into a race
+    against the non-blocking unpersist."""
+    import youtube_api_batch_process_with_analytics_spark.operators.clustering as cl
+    from youtube_api_batch_process_with_analytics_spark.operators import memo
+
+    def run(**kw):
+        df = cl.semantic_dedup(spark, sf_dir, **kw)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return sorted(map(tuple, df.collect())), plan
+
+    try:
+        monkeypatch.setattr(cl, "SEMDEDUP_GEMM_MODE", "0")
+        expr_rows, expr_plan = run()
+        assert "FlatMapGroupsInPandas" not in expr_plan
+        assert "Window" in expr_plan  # the rank pool on the expression path
+        monkeypatch.setattr(cl, "SEMDEDUP_GEMM_MODE", "1")
+        gemm_rows, gemm_plan = run()
+        assert "FlatMapGroupsInPandas" in gemm_plan
+        assert "Window" not in gemm_plan
+        assert expr_rows == gemm_rows and expr_rows
+
+        # cap-binding variant: layer-1 sub-buckets AND the layer-2 rank
+        # cap must survive the kernel translation (candidates = cap
+        # lowest ids)
+        monkeypatch.setattr(cl, "SEMDEDUP_GEMM_MODE", "0")
+        expr_cap, _ = run(cell_cap=2, sub_bits=2)
+        monkeypatch.setattr(cl, "SEMDEDUP_GEMM_MODE", "1")
+        gemm_cap, _ = run(cell_cap=2, sub_bits=2)
+        assert expr_cap == gemm_cap and expr_cap
+    finally:
+        memo.release_session_frames()
+
+
+def test_semdedup_round6_cutoff_is_exact():
+    """The kernel's vectorized gate `cos >= cutoff` must be EXACTLY
+    Spark's `round(cos, 6) >= tau` for every double: _round6_ge_cutoff
+    returns the smallest qualifying double (its predecessor must fail),
+    and a dense random sweep across the rounding boundary agrees with
+    the bit-exact BigDecimal-twin predicate."""
+    import random
+    import struct
+
+    from youtube_api_batch_process_with_analytics_spark.operators.clustering import (
+        _round6_ge_cutoff,
+        _spark_round6,
+    )
+
+    for tau in (0.3, 0.82, 0.25, 0.7999995, 1.0):
+        c = _round6_ge_cutoff(tau)
+        below = struct.unpack(
+            "<d",
+            struct.pack(
+                "<q", struct.unpack("<q", struct.pack("<d", c))[0] - 1
+            ),
+        )[0]
+        assert _spark_round6(c) >= tau and _spark_round6(below) < tau
+        rng = random.Random(int(tau * 1e7))
+        for _ in range(20000):
+            y = rng.uniform(tau - 1e-5, tau + 1e-5)
+            assert (y >= c) == (_spark_round6(y) >= tau), (tau, y)

@@ -1377,6 +1377,166 @@ SEMDEDUP_TARGET_CELL = 640
 SEMDEDUP_CELL_CAP = 4096
 SEMDEDUP_SUB_BITS = 16
 
+# Work volume (valid vectors × bounded within-group partner count) above
+# which semantic_dedup's within-cell pair scoring routes through the
+# grouped Arrow GEMM kernel instead of the interpreted zip_with/aggregate
+# fold expressions (round 13; the semantic-dedup analog of the
+# _assign_cluster / _assign_pq_codes routing contract — higher-order
+# functions run outside whole-stage codegen, and the pair join evaluates
+# one 64-element fold per CANDIDATE PAIR, measured 6.37 s of the 6.42 s
+# sf1 warm path). Every gated tier stays under the threshold (sf0.1:
+# 2000 × 63 = 126k), so gate plans keep the expression shape with zero
+# Python nodes; the kernel takes over at sf1+ (12.5M/38.7M).
+SEMDEDUP_GEMM_MIN_WORK = 2_000_000
+# Env override for A/B measurement only: "1" forces the kernel on, "0"
+# forces the expression path, unset/"auto" routes by work volume.
+SEMDEDUP_GEMM_MODE = __import__("os").environ.get(
+    "SPARK_GRAFT_SEMDEDUP_GEMM", "auto"
+)
+
+
+def _spark_round6(y: float) -> float:
+    """Bit-exact Python twin of Spark's ``round(double, 6)``: Spark's
+    Round expression goes through BigDecimal.valueOf(y) — the SHORTEST
+    round-trip decimal of the double, exactly what Python ``repr``
+    produces — then setScale(6, HALF_UP) (ties away from zero, same as
+    decimal.ROUND_HALF_UP) and back to double (correctly rounded, same
+    as ``float(Decimal)``)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(y))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _round6_ge_cutoff(tau: float) -> float:
+    """Smallest double y with ``_spark_round6(y) >= tau`` — rounding to a
+    fixed scale is monotone non-decreasing in y, so the Spark-side gate
+    ``round(cos, 6) >= tau`` is EXACTLY the vectorizable ``cos >= cutoff``
+    for every double cos. Found by bisection over the total-ordered
+    double bit encoding (64 exact Decimal evaluations, once per kernel
+    launch, driver-side)."""
+    import struct
+
+    def pred(y: float) -> bool:
+        return _spark_round6(y) >= tau
+
+    if pred(-2.0):
+        return -2.0
+    if not pred(2.0):
+        return float("inf")
+
+    int64_min = -(2**63)
+
+    def to_key(y: float) -> int:
+        b = struct.unpack("<q", struct.pack("<d", y))[0]
+        return b if b >= 0 else int64_min - b
+
+    def from_key(k: int) -> float:
+        b = k if k >= 0 else int64_min - k
+        return struct.unpack("<d", struct.pack("<q", b))[0]
+
+    lo, hi = to_key(-2.0), to_key(2.0)  # pred(lo) False, pred(hi) True
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if pred(from_key(mid)):
+            hi = mid
+        else:
+            lo = mid
+    return from_key(hi)
+
+
+def _semdedup_pair_kernel(
+    df: DataFrame, tau: float, cell_cap: int | None
+) -> DataFrame:
+    """Grouped Arrow twin of semantic_dedup's within-cell pair scoring
+    (round 13, guide §4.2): per (cell, sub-bucket) group, ONE int64 GEMM
+    scores every (row × capped-candidate) pair instead of one interpreted
+    64-element ``zip_with``/``aggregate`` fold per pair, and emits the
+    ``dups`` aggregate directly — (vec_id, MIN qualifying lower id). The
+    rank window, the pair-expansion join, and the groupBy all collapse
+    into the one grouped-map exchange, which ships exactly the bytes the
+    window exchange shipped before. Exactness contract (the
+    ``_gemm_assign`` discipline): integer dot/norms are exact int64 under
+    the Cauchy–Schwarz envelope max(nrm2) < 2^62 (checked per group;
+    outside it the group falls back to exact object-dtype integers), the
+    float chain is the identical correctly-rounded IEEE ops in the
+    identical order, and the round-to-6 threshold gate is replaced by the
+    provably-equivalent double cutoff from ``_round6_ge_cutoff``. Memory:
+    Spark's grouped-map materializes each (cell, sub) group in the Python
+    worker — bounded by the fitted cell target and the sign-LSH split
+    except for the documented degenerate case (identical vectors no
+    hyperplane can separate), the same group the rank window already
+    buffers on the expression path; candidate and score buffers are
+    cap-bounded and row-chunked."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cutoff = _round6_ge_cutoff(float(tau))
+    cap = int(cell_cap) if cell_cap is not None else None
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("dup_of_raw", T.LongType()),
+        ]
+    )
+    empty = pd.DataFrame(
+        {
+            "vec_id": np.array([], dtype=np.int64),
+            "dup_of_raw": np.array([], dtype=np.int64),
+        }
+    )
+
+    def find_dups(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order].astype(np.int64)
+        X = np.stack(pdf["qvec"].to_numpy()[order]).astype(np.int64)
+        n2 = pdf["nrm2"].to_numpy()[order].astype(np.int64)
+        c = n if cap is None else min(cap, n)
+        cand = X[:c]
+        cand_ids = ids[:c]
+        sq_cand = np.sqrt(n2[:c].astype(np.float64))
+        sq_all = np.sqrt(n2.astype(np.float64))
+        # |dot| <= sqrt(n2_a * n2_b) <= max(nrm2): int64-exact GEMM iff
+        # that bound stays under 2^62 (the 2x headroom absorbs the
+        # accumulator's transient sums).
+        exact_i64 = int(n2.max()) < 2**62
+        out_ids: list[np.ndarray] = []
+        out_dup: list[np.ndarray] = []
+        step = max(1, 4_000_000 // max(c, 1))
+        for lo in range(0, n, step):
+            hi = min(n, lo + step)
+            rows = X[lo:hi]
+            if exact_i64:
+                dot = (rows @ cand.T).astype(np.float64)
+            else:
+                dot = (rows.astype(object) @ cand.T.astype(object)).astype(
+                    np.float64
+                )
+            y = dot / (sq_cand[None, :] * sq_all[lo:hi, None])
+            mask = (y >= cutoff) & (cand_ids[None, :] < ids[lo:hi, None])
+            hit = mask.any(axis=1)
+            if hit.any():
+                first = np.argmax(mask[hit], axis=1)
+                out_ids.append(ids[lo:hi][hit])
+                out_dup.append(cand_ids[first])
+        if not out_ids:
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_ids),
+                "dup_of_raw": np.concatenate(out_dup),
+            }
+        )
+
+    return df.groupBy("cluster", "sub").applyInPandas(find_dups, schema)
+
 
 # (applicationId, sf_dir) -> count of valid (nonzero, well-formed)
 # embeddings — the base set of every clustering operator. A driver-side
@@ -1493,7 +1653,6 @@ def semantic_dedup(
     )
     if cell_cap is None:
         paired = v.withColumn("sub", F.lit(-1))
-        a_pool = paired
     else:
         # layer 1: cells above the cap get a sign-LSH sub-bucket key
         # (axis-aligned hyperplanes over the quantized components — the
@@ -1520,52 +1679,74 @@ def semantic_dedup(
             )
             .drop("_cell_n")
         )
-        # layer 2: the comparison pool per (cell, sub) group is its
-        # cell_cap lowest ids — a rank window (sort, never a pair
-        # expansion), bounding join work at |group|·cap even when a
-        # degenerate sub-bucket stays large.
-        rn = F.row_number().over(
-            Window.partitionBy("cluster", "sub").orderBy(
-                F.col("vec_id").asc()
+    # Route the within-group pair scoring (round 13): above
+    # SEMDEDUP_GEMM_MIN_WORK the grouped Arrow GEMM kernel computes the
+    # dups aggregate in one grouped-map pass (results identical — pinned
+    # by the forced-on/off differential in tests/test_clustering.py and
+    # by forced-on oracle parity); below it the expression plan wins (no
+    # Python worker round-trip, zero Python nodes — every gated tier).
+    avg_cell = max(1, _n_valid(spark, sf_dir) // max(k, 1))
+    partners = avg_cell if cell_cap is None else min(avg_cell, cell_cap)
+    use_kernel = SEMDEDUP_GEMM_MODE == "1" or (
+        SEMDEDUP_GEMM_MODE != "0"
+        and _n_valid(spark, sf_dir) * partners >= SEMDEDUP_GEMM_MIN_WORK
+    )
+    if use_kernel:
+        dups = _semdedup_pair_kernel(
+            paired.select("cluster", "sub", "vec_id", "qvec", "nrm2"),
+            tau,
+            cell_cap,
+        )
+    else:
+        if cell_cap is None:
+            a_pool = paired
+        else:
+            # layer 2: the comparison pool per (cell, sub) group is its
+            # cell_cap lowest ids — a rank window (sort, never a pair
+            # expansion), bounding join work at |group|·cap even when a
+            # degenerate sub-bucket stays large.
+            rn = F.row_number().over(
+                Window.partitionBy("cluster", "sub").orderBy(
+                    F.col("vec_id").asc()
+                )
             )
+            a_pool = (
+                paired.withColumn("_rn", rn)
+                .filter(F.col("_rn") <= cell_cap)
+                .drop("_rn")
+            )
+        a = a_pool.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("cluster").alias("a_cell"),
+            F.col("sub").alias("a_sub"),
+            F.col("qvec").alias("a_q"),
+            F.col("nrm2").alias("a_n"),
         )
-        a_pool = (
-            paired.withColumn("_rn", rn)
-            .filter(F.col("_rn") <= cell_cap)
-            .drop("_rn")
+        dot = F.aggregate(
+            F.zip_with("a_q", "qvec", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
-    a = a_pool.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("cluster").alias("a_cell"),
-        F.col("sub").alias("a_sub"),
-        F.col("qvec").alias("a_q"),
-        F.col("nrm2").alias("a_n"),
-    )
-    dot = F.aggregate(
-        F.zip_with("a_q", "qvec", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    cos = F.round(
-        dot.cast("double")
-        / (
-            F.sqrt(F.col("a_n").cast("double"))
-            * F.sqrt(F.col("nrm2").cast("double"))
-        ),
-        6,
-    )
-    dups = (
-        paired.join(
-            a,
-            (F.col("a_cell") == F.col("cluster"))
-            & (F.col("a_sub") == F.col("sub"))
-            & (F.col("a_id") < F.col("vec_id")),
+        cos = F.round(
+            dot.cast("double")
+            / (
+                F.sqrt(F.col("a_n").cast("double"))
+                * F.sqrt(F.col("nrm2").cast("double"))
+            ),
+            6,
         )
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= tau)
-        .groupBy("vec_id")
-        .agg(F.min("a_id").alias("dup_of_raw"))
-    )
+        dups = (
+            paired.join(
+                a,
+                (F.col("a_cell") == F.col("cluster"))
+                & (F.col("a_sub") == F.col("sub"))
+                & (F.col("a_id") < F.col("vec_id")),
+            )
+            .withColumn("cos", cos)
+            .filter(F.col("cos") >= tau)
+            .groupBy("vec_id")
+            .agg(F.min("a_id").alias("dup_of_raw"))
+        )
     return v.join(dups, "vec_id", "left").select(
         "vec_id",
         "cluster",
